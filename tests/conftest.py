@@ -1,0 +1,25 @@
+"""Test configuration: force CPU with 8 virtual devices (sharding tests run on
+a fake mesh; TPU bench runs live outside pytest via bench.py)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon already latched, so the env var alone is not enough —
+# override through the config API before any backend is initialized.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

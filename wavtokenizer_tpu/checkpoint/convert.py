@@ -1,0 +1,260 @@
+"""torch-checkpoint -> JAX-pytree conversion.
+
+Reads a Lightning checkpoint's ``state_dict`` (prefix-filtered to
+backbone./head./feature_extractor. exactly like the reference loader,
+decoder/pretrained.py:95-114), folds weight-norm reparametrizations
+(g * v / ||v||) into plain kernels, and re-lays-out every tensor for the
+channel-last TPU stack:
+
+* Conv1d   (O, I, K)  ->  (K, I, O)
+* ConvTr1d (I, O, K)  ->  (K, I, O)
+* Linear   (O, I)     ->  (I, O)
+
+All math here is host-side numpy float32, exactly matching torch's
+``_weight_norm`` (norm over all dims except dim 0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.seanet import LayerSpec, SEANetConfig, encoder_layer_specs, decoder_layer_specs
+from ..models.vocos import VocosBackboneConfig
+
+
+class MissingKey(KeyError):
+    pass
+
+
+def _get(sd: dict, key: str) -> np.ndarray:
+    if key not in sd:
+        raise MissingKey(key)
+    return np.asarray(sd[key], dtype=np.float32)
+
+
+def fold_weight_norm_weight(sd: dict, prefix: str) -> np.ndarray:
+    """Return the effective weight for a (possibly weight-normed) conv/linear.
+
+    Supports three layouts: legacy ``weight_g``/``weight_v``, new
+    ``parametrizations.weight.original0/original1``, and plain ``weight``.
+    """
+    if f"{prefix}.weight_v" in sd:
+        g = _get(sd, f"{prefix}.weight_g").astype(np.float64)
+        v = _get(sd, f"{prefix}.weight_v").astype(np.float64)
+    elif f"{prefix}.parametrizations.weight.original0" in sd:
+        g = _get(sd, f"{prefix}.parametrizations.weight.original0").astype(np.float64)
+        v = _get(sd, f"{prefix}.parametrizations.weight.original1").astype(np.float64)
+    else:
+        return _get(sd, f"{prefix}.weight")
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt((v * v).sum(axis=axes, keepdims=True))
+    return (v * (g / norm)).astype(np.float32)
+
+
+def conv1d_params(sd: dict, prefix: str) -> dict:
+    """Conv1d weights (O, I, K) -> {'kernel': (K, I, O), 'bias': (O,)}."""
+    w = fold_weight_norm_weight(sd, prefix)
+    out = {"kernel": np.transpose(w, (2, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _get(sd, f"{prefix}.bias")
+    else:
+        out["bias"] = None
+    return out
+
+
+def convtr1d_params(sd: dict, prefix: str) -> dict:
+    """ConvTranspose1d weights (I, O, K) -> {'kernel': (K, I, O), 'bias': (O,)}."""
+    w = fold_weight_norm_weight(sd, prefix)
+    out = {"kernel": np.transpose(w, (2, 0, 1))}
+    out["bias"] = _get(sd, f"{prefix}.bias") if f"{prefix}.bias" in sd else None
+    return out
+
+
+def linear_params(sd: dict, prefix: str) -> dict:
+    w = fold_weight_norm_weight(sd, prefix)
+    return {"weight": np.ascontiguousarray(w.T), "bias": _get(sd, f"{prefix}.bias")}
+
+
+def norm_params(sd: dict, prefix: str) -> dict:
+    return {"weight": _get(sd, f"{prefix}.weight"),
+            "bias": _get(sd, f"{prefix}.bias")}
+
+
+def lstm_params(sd: dict, prefix: str, num_layers: int) -> dict:
+    layers = []
+    for k in range(num_layers):
+        layers.append({
+            "w_ih": _get(sd, f"{prefix}.weight_ih_l{k}"),
+            "w_hh": _get(sd, f"{prefix}.weight_hh_l{k}"),
+            "b_ih": _get(sd, f"{prefix}.bias_ih_l{k}"),
+            "b_hh": _get(sd, f"{prefix}.bias_hh_l{k}"),
+        })
+    return {"layers": layers}
+
+
+# --------------------------------------------------------------------------
+# SEANet
+# --------------------------------------------------------------------------
+
+def seanet_params(sd: dict, root: str, specs: list[LayerSpec]) -> list:
+    """Build the flat param list for apply_seanet from torch keys rooted at
+    ``root`` (e.g. 'feature_extractor.encodec.encoder.')."""
+    params = []
+    for spec in specs:
+        if spec.kind == "conv":
+            params.append(conv1d_params(sd, f"{root}{spec.prefix}.conv.conv"))
+        elif spec.kind == "convtr":
+            params.append(convtr1d_params(sd, f"{root}{spec.prefix}.convtr.convtr"))
+        elif spec.kind == "resblock":
+            block = []
+            # Sequential inside the resblock: [ELU, conv, ELU, conv] -> 1, 3
+            for bi in range(len(spec.block_kernel_sizes)):
+                block.append(conv1d_params(
+                    sd, f"{root}{spec.prefix}.block.{2 * bi + 1}.conv.conv"))
+            p = {"block": block}
+            if not spec.true_skip:
+                p["shortcut"] = conv1d_params(
+                    sd, f"{root}{spec.prefix}.shortcut.conv.conv")
+            params.append(p)
+        elif spec.kind == "lstm":
+            params.append(lstm_params(sd, f"{root}{spec.prefix}.lstm",
+                                      spec.num_lstm_layers))
+        else:  # elu / final_act carry no params
+            params.append({})
+    return params
+
+
+# --------------------------------------------------------------------------
+# Quantizer
+# --------------------------------------------------------------------------
+
+def quantizer_params(sd: dict, root: str, n_q: int) -> dict:
+    """Stack per-layer codebooks: root e.g.
+    'feature_extractor.encodec.quantizer.' with torch keys
+    vq.layers.{q}._codebook.{embed,embed_avg,cluster_size,inited}."""
+    embed, embed_avg, cluster_size, inited = [], [], [], []
+    for q in range(n_q):
+        p = f"{root}vq.layers.{q}._codebook"
+        embed.append(_get(sd, f"{p}.embed"))
+        if f"{p}.embed_avg" in sd:
+            embed_avg.append(_get(sd, f"{p}.embed_avg"))
+            cluster_size.append(_get(sd, f"{p}.cluster_size"))
+            inited.append(_get(sd, f"{p}.inited"))
+    out = {"embed": np.stack(embed)}
+    if embed_avg:
+        out["embed_avg"] = np.stack(embed_avg)
+        out["cluster_size"] = np.stack(cluster_size)
+        out["inited"] = np.stack(inited)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Vocos backbone + ISTFT head
+# --------------------------------------------------------------------------
+
+def _pos_resnet_params(sd: dict, p: str) -> dict:
+    return {
+        "norm1": norm_params(sd, f"{p}.norm1"),
+        "conv1": conv1d_params(sd, f"{p}.conv1"),
+        "norm2": norm_params(sd, f"{p}.norm2"),
+        "conv2": conv1d_params(sd, f"{p}.conv2"),
+    }
+
+
+def _attn_params(sd: dict, p: str) -> dict:
+    return {
+        "norm": norm_params(sd, f"{p}.norm"),
+        "q": conv1d_params(sd, f"{p}.q"),
+        "k": conv1d_params(sd, f"{p}.k"),
+        "v": conv1d_params(sd, f"{p}.v"),
+        "proj_out": conv1d_params(sd, f"{p}.proj_out"),
+    }
+
+
+def _adaln_params(sd: dict, p: str) -> dict:
+    return {"scale": _get(sd, f"{p}.scale.weight"),
+            "shift": _get(sd, f"{p}.shift.weight")}
+
+
+def vocos_backbone_params(sd: dict, root: str, cfg: VocosBackboneConfig) -> dict:
+    params = {
+        "embed": conv1d_params(sd, f"{root}embed"),
+        "pos_net": [
+            _pos_resnet_params(sd, f"{root}pos_net.0"),
+            _pos_resnet_params(sd, f"{root}pos_net.1"),
+            _attn_params(sd, f"{root}pos_net.2"),
+            _pos_resnet_params(sd, f"{root}pos_net.3"),
+            _pos_resnet_params(sd, f"{root}pos_net.4"),
+            norm_params(sd, f"{root}pos_net.5"),
+        ],
+    }
+    if cfg.adanorm_num_embeddings:
+        params["norm"] = _adaln_params(sd, f"{root}norm")
+    else:
+        params["norm"] = norm_params(sd, f"{root}norm")
+    convnext = []
+    for i in range(cfg.num_layers):
+        p = f"{root}convnext.{i}"
+        block = {
+            "dwconv": conv1d_params(sd, f"{p}.dwconv"),
+            "pwconv1": linear_params(sd, f"{p}.pwconv1"),
+            "pwconv2": linear_params(sd, f"{p}.pwconv2"),
+        }
+        if cfg.adanorm_num_embeddings:
+            block["adanorm"] = _adaln_params(sd, f"{p}.norm")
+        else:
+            block["norm"] = norm_params(sd, f"{p}.norm")
+        if f"{p}.gamma" in sd:
+            block["gamma"] = _get(sd, f"{p}.gamma")
+        convnext.append(block)
+    params["convnext"] = convnext
+    params["final_layer_norm"] = norm_params(sd, f"{root}final_layer_norm")
+    return params
+
+
+def istft_head_params(sd: dict, root: str) -> dict:
+    return {"out": linear_params(sd, f"{root}out")}
+
+
+# --------------------------------------------------------------------------
+# Full model
+# --------------------------------------------------------------------------
+
+def load_torch_state_dict(path: str) -> dict:
+    """Load a torch/Lightning checkpoint into {key: np.ndarray}, keeping only
+    backbone./head./feature_extractor. keys (ref: decoder/pretrained.py:101-105)."""
+    import torch
+    try:
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(raw, dict) and "state_dict" in raw:
+        raw = raw["state_dict"]
+    out = {}
+    for k, v in raw.items():
+        if k.startswith(("backbone.", "head.", "feature_extractor.")):
+            out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def average_state_dicts(sds: list[dict]) -> dict:
+    """Checkpoint averaging (ref: decoder/pretrained.py:117-156)."""
+    keys = sds[0].keys()
+    return {k: np.mean([np.asarray(sd[k], dtype=np.float64) for sd in sds], axis=0)
+                .astype(np.float32) for k in keys}
+
+
+def convert_wavtokenizer_state_dict(sd: dict, seanet_cfg: SEANetConfig,
+                                    vq_n_q: int,
+                                    backbone_cfg: VocosBackboneConfig) -> dict:
+    """state_dict -> full param pytree for the WavTokenizer facade."""
+    fe_root = "feature_extractor.encodec."
+    return {
+        "encoder": seanet_params(sd, f"{fe_root}encoder.",
+                                 encoder_layer_specs(seanet_cfg)),
+        "decoder": seanet_params(sd, f"{fe_root}decoder.",
+                                 decoder_layer_specs(seanet_cfg)),
+        "quantizer": quantizer_params(sd, f"{fe_root}quantizer.", vq_n_q),
+        "backbone": vocos_backbone_params(sd, "backbone.", backbone_cfg),
+        "head": istft_head_params(sd, "head."),
+    }

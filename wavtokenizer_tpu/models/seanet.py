@@ -1,0 +1,196 @@
+"""SEANet encoder/decoder as spec-driven pure functions.
+
+Behavioral contract: reference encoder/modules/seanet.py:66-238 (strided
+conv stack with dilated residual blocks, 2-layer LSTM, ELU activations,
+"streamable" exact padding).  The TPU-native design differs from the torch
+module tree:
+
+* channel-last (B, T, C) activations so C maps onto TPU lanes,
+* params are plain pytrees (lists/dicts of arrays) produced by the
+  checkpoint converter, weight-norm already folded,
+* the whole stack is a single jit-able pure function.
+
+Layer *specs* (static metadata: kinds, strides, dilations, torch key
+prefixes) are built from the config once and drive both the apply function
+and the checkpoint conversion.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.conv import sconv1d, sconv_transpose1d
+from ..ops.lstm import slstm
+
+
+@dataclass(frozen=True)
+class SEANetConfig:
+    """Mirror of the reference constructor args (seanet.py:91-95,174-180)."""
+    channels: int = 1
+    dimension: int = 512
+    n_filters: int = 32
+    n_residual_layers: int = 1
+    ratios: tuple = (8, 5, 4, 2)       # decoder order, encoder reverses
+    kernel_size: int = 7
+    last_kernel_size: int = 7
+    residual_kernel_size: int = 3
+    dilation_base: int = 2
+    causal: bool = False
+    pad_mode: str = "reflect"
+    true_skip: bool = False
+    compress: int = 2
+    lstm: int = 2
+    trim_right_ratio: float = 1.0
+    final_activation: str | None = None
+
+    @property
+    def hop_length(self) -> int:
+        return int(np.prod(self.ratios))
+
+
+@dataclass(frozen=True)
+class LayerSpec:
+    """One entry of the (flattened) sequential model."""
+    kind: str                  # conv | convtr | lstm | elu | resblock | final_act
+    prefix: str = ""           # torch key prefix, e.g. "model.3"
+    stride: int = 1
+    dilation: int = 1
+    causal: bool = False
+    pad_mode: str = "reflect"
+    trim_right_ratio: float = 1.0
+    # resblock internals
+    block_dilations: tuple = ()
+    block_kernel_sizes: tuple = ()
+    true_skip: bool = True
+    num_lstm_layers: int = 0
+
+
+def encoder_layer_specs(cfg: SEANetConfig) -> list[LayerSpec]:
+    """Flattened layer list matching SEANetEncoder.__init__ module indices
+    (ref: seanet.py:107-141) so torch keys line up as model.{i}."""
+    ratios = tuple(reversed(cfg.ratios))
+    specs: list[LayerSpec] = []
+    i = 0
+
+    def conv(stride=1, dilation=1):
+        nonlocal i
+        specs.append(LayerSpec("conv", f"model.{i}", stride=stride,
+                               dilation=dilation, causal=cfg.causal,
+                               pad_mode=cfg.pad_mode))
+        i += 1
+
+    conv()  # init conv k=kernel_size
+    for ratio in ratios:
+        for j in range(cfg.n_residual_layers):
+            specs.append(LayerSpec(
+                "resblock", f"model.{i}", causal=cfg.causal, pad_mode=cfg.pad_mode,
+                block_kernel_sizes=(cfg.residual_kernel_size, 1),
+                block_dilations=(cfg.dilation_base ** j, 1),
+                true_skip=cfg.true_skip))
+            i += 1
+        specs.append(LayerSpec("elu"))
+        i += 1
+        conv(stride=ratio)
+    if cfg.lstm:
+        specs.append(LayerSpec("lstm", f"model.{i}", num_lstm_layers=cfg.lstm))
+        i += 1
+    specs.append(LayerSpec("elu"))
+    i += 1
+    conv()  # final conv to `dimension`
+    return specs
+
+
+def decoder_layer_specs(cfg: SEANetConfig) -> list[LayerSpec]:
+    """Flattened layer list matching SEANetDecoder.__init__ (seanet.py:192-234)."""
+    specs: list[LayerSpec] = []
+    i = 0
+    specs.append(LayerSpec("conv", f"model.{i}", causal=cfg.causal,
+                           pad_mode=cfg.pad_mode))
+    i += 1
+    if cfg.lstm:
+        specs.append(LayerSpec("lstm", f"model.{i}", num_lstm_layers=cfg.lstm))
+        i += 1
+    for ratio in cfg.ratios:
+        specs.append(LayerSpec("elu"))
+        i += 1
+        specs.append(LayerSpec("convtr", f"model.{i}", stride=ratio,
+                               causal=cfg.causal,
+                               trim_right_ratio=cfg.trim_right_ratio))
+        i += 1
+        for j in range(cfg.n_residual_layers):
+            specs.append(LayerSpec(
+                "resblock", f"model.{i}", causal=cfg.causal, pad_mode=cfg.pad_mode,
+                block_kernel_sizes=(cfg.residual_kernel_size, 1),
+                block_dilations=(cfg.dilation_base ** j, 1),
+                true_skip=cfg.true_skip))
+            i += 1
+    specs.append(LayerSpec("elu"))
+    i += 1
+    specs.append(LayerSpec("conv", f"model.{i}", causal=cfg.causal,
+                           pad_mode=cfg.pad_mode))
+    i += 1
+    if cfg.final_activation is not None:
+        specs.append(LayerSpec("final_act"))
+        i += 1
+    return specs
+
+
+def _apply_resblock(params: dict, spec: LayerSpec, x: jnp.ndarray) -> jnp.ndarray:
+    """SEANetResnetBlock: [ELU, conv(k,d), ELU, conv(1)] + shortcut
+    (ref: seanet.py:21-63)."""
+    h = x
+    for conv_p, ks, dil in zip(params["block"], spec.block_kernel_sizes,
+                               spec.block_dilations):
+        h = jax.nn.elu(h)
+        h = sconv1d(h, conv_p["kernel"], conv_p["bias"], stride=1, dilation=dil,
+                    causal=spec.causal, pad_mode=spec.pad_mode)
+    if spec.true_skip:
+        short = x
+    else:
+        sp = params["shortcut"]
+        short = sconv1d(x, sp["kernel"], sp["bias"], stride=1, dilation=1,
+                        causal=spec.causal, pad_mode=spec.pad_mode)
+    return short + h
+
+
+def apply_seanet(params: list, specs: list[LayerSpec], x: jnp.ndarray,
+                 final_activation: str | None = None) -> jnp.ndarray:
+    """Run the flattened sequential model.  x: (B, T, C)."""
+    for p, spec in zip(params, specs):
+        if spec.kind == "conv":
+            x = sconv1d(x, p["kernel"], p["bias"], stride=spec.stride,
+                        dilation=spec.dilation, causal=spec.causal,
+                        pad_mode=spec.pad_mode)
+        elif spec.kind == "convtr":
+            x = sconv_transpose1d(x, p["kernel"], p["bias"], stride=spec.stride,
+                                  causal=spec.causal,
+                                  trim_right_ratio=spec.trim_right_ratio)
+        elif spec.kind == "resblock":
+            x = _apply_resblock(p, spec, x)
+        elif spec.kind == "lstm":
+            x = slstm(x, p["layers"], skip=True)
+        elif spec.kind == "elu":
+            x = jax.nn.elu(x)
+        elif spec.kind == "final_act":
+            if final_activation == "Tanh":
+                x = jnp.tanh(x)
+            else:
+                raise NotImplementedError(final_activation)
+        else:
+            raise ValueError(spec.kind)
+    return x
+
+
+def seanet_encode(params: list, cfg: SEANetConfig, audio: jnp.ndarray) -> jnp.ndarray:
+    """audio: (B, T, 1) -> latent (B, T', dimension)."""
+    return apply_seanet(params, encoder_layer_specs(cfg), audio)
+
+
+def seanet_decode(params: list, cfg: SEANetConfig, z: jnp.ndarray) -> jnp.ndarray:
+    """z: (B, T', dimension) -> audio (B, T, channels)."""
+    return apply_seanet(params, decoder_layer_specs(cfg), z,
+                        final_activation=cfg.final_activation)

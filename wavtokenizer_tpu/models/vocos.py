@@ -1,0 +1,186 @@
+"""Vocos-style decoder: VocosBackbone (ConvNeXt + attention pos-net) + heads.
+
+Behavioral contract: reference decoder/models.py:152-235, decoder/modules.py,
+decoder/heads.py:24-67.  TPU-native design notes:
+
+* channel-last (B, T, C) everywhere — ConvNeXt pointwise layers are plain
+  (T, C) x (C, C') matmuls on the MXU; the depthwise k=7 conv is a small
+  grouped conv XLA fuses with the surrounding elementwise ops,
+* attention is one fused softmax(QK^T)V einsum chain (O(T^2) is fine for
+  3 s windows, T=225),
+* all normalizations are explicit jnp math (GroupNorm stats over (T, C/G)),
+* ISTFT head calls the static shifted-sum overlap-add in ops.spectral.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import conv1d
+from ..ops.spectral import istft_same
+
+
+@dataclass(frozen=True)
+class VocosBackboneConfig:
+    """Mirror of VocosBackbone init args (ref: decoder/models.py:166-216)."""
+    input_channels: int = 512
+    dim: int = 768
+    intermediate_dim: int = 2304
+    num_layers: int = 12
+    adanorm_num_embeddings: int | None = 4
+    num_pos_resblocks: int = 4      # fixed 2+attn+2 in the reference
+    groupnorm_groups: int = 32
+
+
+@dataclass(frozen=True)
+class ISTFTHeadConfig:
+    dim: int = 768
+    n_fft: int = 1280
+    hop_length: int = 320
+    padding: str = "same"
+
+
+# --------------------------------------------------------------------------
+# Normalizations
+# --------------------------------------------------------------------------
+
+def layer_norm(x: jnp.ndarray, weight=None, bias=None, eps: float = 1e-6):
+    """LayerNorm over the last dim (torch nn.LayerNorm semantics)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    if weight is not None:
+        y = y * weight
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def group_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+               num_groups: int, eps: float = 1e-6) -> jnp.ndarray:
+    """GroupNorm on channel-last (B, T, C): stats over (T, C/G) per group,
+    matching torch GroupNorm on (B, C, T)."""
+    B, T, C = x.shape
+    g = x.reshape(B, T, num_groups, C // num_groups)
+    mean = jnp.mean(g, axis=(1, 3), keepdims=True)
+    var = jnp.var(g, axis=(1, 3), keepdims=True)
+    g = (g - mean) * jax.lax.rsqrt(var + eps)
+    return g.reshape(B, T, C) * weight + bias
+
+
+def ada_layer_norm(params: dict, x: jnp.ndarray, cond_id) -> jnp.ndarray:
+    """AdaLayerNorm (ref: decoder/modules.py:63-86): plain LN then learned
+    per-condition scale/shift embeddings."""
+    scale = params["scale"][cond_id]   # (C,)
+    shift = params["shift"][cond_id]
+    return layer_norm(x) * scale + shift
+
+
+# --------------------------------------------------------------------------
+# Blocks
+# --------------------------------------------------------------------------
+
+def _swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def pos_resnet_block(p: dict, x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """GroupNorm -> swish -> conv(k3) -> GroupNorm -> swish -> conv(k3) + res
+    (ref: decoder/models.py:19-78; dropout is identity at inference)."""
+    h = group_norm(x, p["norm1"]["weight"], p["norm1"]["bias"], groups)
+    h = _swish(h)
+    h = conv1d(h, p["conv1"]["kernel"], p["conv1"]["bias"], padding=(1, 1))
+    h = group_norm(h, p["norm2"]["weight"], p["norm2"]["bias"], groups)
+    h = _swish(h)
+    h = conv1d(h, p["conv2"]["kernel"], p["conv2"]["bias"], padding=(1, 1))
+    return x + h
+
+
+def attn_block(p: dict, x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Single-head full self-attention via 1x1 convs
+    (ref: decoder/models.py:80-127)."""
+    B, T, C = x.shape
+    h = group_norm(x, p["norm"]["weight"], p["norm"]["bias"], groups)
+    # 1x1 convs == matmuls; kernels stored (1, C, C) -> use [0]
+    q = jnp.dot(h, p["q"]["kernel"][0]) + p["q"]["bias"]
+    k = jnp.dot(h, p["k"]["kernel"][0]) + p["k"]["bias"]
+    v = jnp.dot(h, p["v"]["kernel"][0]) + p["v"]["bias"]
+    w = jnp.einsum("bic,bjc->bij", q, k) * (C ** -0.5)
+    w = jax.nn.softmax(w, axis=2)
+    out = jnp.einsum("bij,bjc->bic", w, v)
+    out = jnp.dot(out, p["proj_out"]["kernel"][0]) + p["proj_out"]["bias"]
+    return x + out
+
+
+def convnext_block(p: dict, x: jnp.ndarray, cond_id=None) -> jnp.ndarray:
+    """ConvNeXt 1-D block (ref: decoder/modules.py:8-60): depthwise conv(k7)
+    -> (Ada)LN -> Linear -> GELU(exact) -> Linear -> layer-scale -> residual."""
+    residual = x
+    C = x.shape[-1]
+    x = conv1d(x, p["dwconv"]["kernel"], p["dwconv"]["bias"],
+               padding=(3, 3), groups=C)
+    if "adanorm" in p:
+        x = ada_layer_norm(p["adanorm"], x, cond_id)
+    else:
+        x = layer_norm(x, p["norm"]["weight"], p["norm"]["bias"])
+    x = jnp.dot(x, p["pwconv1"]["weight"]) + p["pwconv1"]["bias"]
+    x = jax.nn.gelu(x, approximate=False)
+    x = jnp.dot(x, p["pwconv2"]["weight"]) + p["pwconv2"]["bias"]
+    if "gamma" in p:
+        x = p["gamma"] * x
+    return residual + x
+
+
+# --------------------------------------------------------------------------
+# Backbone + head
+# --------------------------------------------------------------------------
+
+def vocos_backbone(params: dict, cfg: VocosBackboneConfig, x: jnp.ndarray,
+                   bandwidth_id=None) -> jnp.ndarray:
+    """x: (B, T, input_channels) features -> (B, T, dim) hidden.
+
+    Mirrors VocosBackbone.forward (ref: decoder/models.py:223-235):
+    embed conv -> pos_net (2 resblocks, attention, 2 resblocks, GroupNorm)
+    -> (Ada)LN -> ConvNeXt stack -> final LayerNorm.
+    """
+    g = cfg.groupnorm_groups
+    x = conv1d(x, params["embed"]["kernel"], params["embed"]["bias"],
+               padding=(3, 3))
+    pos = params["pos_net"]
+    x = pos_resnet_block(pos[0], x, g)
+    x = pos_resnet_block(pos[1], x, g)
+    x = attn_block(pos[2], x, g)
+    x = pos_resnet_block(pos[3], x, g)
+    x = pos_resnet_block(pos[4], x, g)
+    x = group_norm(x, pos[5]["weight"], pos[5]["bias"], g)
+
+    if cfg.adanorm_num_embeddings:
+        assert bandwidth_id is not None
+        x = ada_layer_norm(params["norm"], x, bandwidth_id)
+    else:
+        x = layer_norm(x, params["norm"]["weight"], params["norm"]["bias"])
+    for block in params["convnext"]:
+        x = convnext_block(block, x, cond_id=bandwidth_id)
+    x = layer_norm(x, params["final_layer_norm"]["weight"],
+                   params["final_layer_norm"]["bias"])
+    return x
+
+
+def istft_head(params: dict, cfg: ISTFTHeadConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, dim) -> (B, L) waveform (ref: decoder/heads.py:42-67).
+
+    Linear to n_fft+2 coefficients, split into log-magnitude (exp, clipped
+    at 1e2) and phase, then "same"-padded ISTFT.
+    """
+    x = jnp.dot(x, params["out"]["weight"]) + params["out"]["bias"]
+    n = cfg.n_fft // 2 + 1
+    mag, p = x[..., :n], x[..., n:]
+    mag = jnp.clip(jnp.exp(mag), max=1e2)
+    real = mag * jnp.cos(p)
+    imag = mag * jnp.sin(p)
+    if cfg.padding != "same":
+        raise NotImplementedError("only 'same' padding is used by shipped configs")
+    return istft_same(real, imag, cfg.n_fft, cfg.hop_length)

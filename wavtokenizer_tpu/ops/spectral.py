@@ -1,0 +1,241 @@
+"""Spectral ops: ISTFT with "same" padding, STFT, mel filterbank, MDCT/IMDCT.
+
+TPU-native rebuild of the reference custom spectral ops
+(ref: decoder/spectral_ops.py:7-192).  The overlap-add is expressed as a
+static shifted-sum (the window length is an integer multiple of the hop in
+all shipped configs), which XLA fuses into a handful of vector adds —
+no scatter, no fold.
+
+All functions are channel-last / time-major-frames: frames are (B, T, F).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_length: int) -> np.ndarray:
+    """Periodic Hann window, matching torch.hann_window(win_length)."""
+    n = np.arange(win_length)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
+
+
+def overlap_add(frames: jnp.ndarray, hop_length: int) -> jnp.ndarray:
+    """Overlap-add (B, T, W) frames with the given hop into (B, (T-1)*hop + W).
+
+    When W % hop == 0 (every shipped WavTokenizer config: 1280/320, 2400/600)
+    this is a static shifted sum over R = W // hop chunk lanes.  Otherwise we
+    fall back to an index_add scatter.
+    """
+    B, T, W = frames.shape
+    out_len = (T - 1) * hop_length + W
+    if W % hop_length == 0:
+        R = W // hop_length
+        chunks = frames.reshape(B, T, R, hop_length)
+        acc = jnp.zeros((B, T + R - 1, hop_length), dtype=frames.dtype)
+        for r in range(R):
+            acc = acc.at[:, r:r + T, :].add(chunks[:, :, r, :])
+        return acc.reshape(B, (T + R - 1) * hop_length)
+    # General fallback: scatter-add each frame.
+    out = jnp.zeros((B, out_len), dtype=frames.dtype)
+    for t in range(T):
+        out = out.at[:, t * hop_length:t * hop_length + W].add(frames[:, t, :])
+    return out
+
+
+@lru_cache(maxsize=32)
+def _window_envelope_np(n_fft: int, hop_length: int, win_length: int,
+                        T: int, pad: int) -> np.ndarray:
+    """Precompute the squared-window OLA envelope on host (static shapes)."""
+    w2 = hann_window(win_length).astype(np.float64) ** 2
+    out_len = (T - 1) * hop_length + win_length
+    env = np.zeros(out_len, dtype=np.float64)
+    for t in range(T):
+        env[t * hop_length:t * hop_length + win_length] += w2
+    env = env[pad:out_len - pad]
+    assert (env > 1e-11).all(), "NOLA check failed"
+    return env.astype(np.float32)
+
+
+def istft_same(spec_real: jnp.ndarray, spec_imag: jnp.ndarray, n_fft: int,
+               hop_length: int, win_length: int | None = None) -> jnp.ndarray:
+    """ISTFT with "same" padding (trim (W-hop)//2 from both ends).
+
+    Matches reference ISTFT.forward (decoder/spectral_ops.py:33-75):
+    irfft(norm="backward") per frame -> hann window -> overlap-add ->
+    divide by the window envelope -> trim the pad.
+
+    spec_real/imag: (B, T, N) with N = n_fft // 2 + 1 frequency bins.
+    Returns (B, L).
+    """
+    if win_length is None:
+        win_length = n_fft
+    pad = (win_length - hop_length) // 2
+    B, T, N = spec_real.shape
+    assert N == n_fft // 2 + 1, (N, n_fft)
+
+    spec = spec_real + 1j * spec_imag
+    ifft = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # (B, T, n_fft), backward norm
+    window = jnp.asarray(hann_window(win_length))
+    ifft = (ifft * window).astype(spec_real.dtype)
+
+    y = overlap_add(ifft, hop_length)
+    out_len = (T - 1) * hop_length + win_length
+    y = y[:, pad:out_len - pad]
+
+    env = jnp.asarray(_window_envelope_np(n_fft, hop_length, win_length, T, pad))
+    return y / env
+
+
+def stft_frames(x: jnp.ndarray, n_fft: int, hop_length: int,
+                win_length: int | None = None, window: np.ndarray | None = None,
+                center: bool = True, pad_mode: str = "reflect") -> jnp.ndarray:
+    """Frame a (B, L) signal into (B, T, win_length) windows (torch.stft layout).
+
+    With center=True the signal is padded by n_fft//2 on both sides
+    (reflect), matching torch.stft defaults used by the mel loss and the
+    discriminators.
+    """
+    if win_length is None:
+        win_length = n_fft
+    if center:
+        p = n_fft // 2
+        x = jnp.pad(x, ((0, 0), (p, p)), mode=pad_mode)
+    L = x.shape[1]
+    T = 1 + (L - n_fft) // hop_length
+    # Gather frames via strided slicing: idx (T, win) built statically.
+    starts = np.arange(T) * hop_length
+    idx = starts[:, None] + np.arange(win_length)[None, :]
+    frames = x[:, idx]  # (B, T, win)
+    if window is not None:
+        frames = frames * jnp.asarray(window)
+    return frames
+
+
+def stft(x: jnp.ndarray, n_fft: int, hop_length: int,
+         win_length: int | None = None, window: np.ndarray | None = None,
+         center: bool = True, pad_mode: str = "reflect") -> jnp.ndarray:
+    """Complex STFT of (B, L) -> (B, T, n_fft//2+1). torch.stft-compatible."""
+    if win_length is None:
+        win_length = n_fft
+    if window is None:
+        window = hann_window(win_length)
+    frames = stft_frames(x, n_fft, hop_length, win_length, window, center, pad_mode)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        frames = jnp.pad(frames, ((0, 0), (0, 0), (lpad, n_fft - win_length - lpad)))
+    return jnp.fft.rfft(frames, n=n_fft, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Mel filterbank (torchaudio-compatible, HTK scale, no norm) for the mel loss.
+# ---------------------------------------------------------------------------
+
+def _hz_to_mel(f: np.ndarray | float) -> np.ndarray:
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz(m: np.ndarray) -> np.ndarray:
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+@lru_cache(maxsize=8)
+def mel_filterbank(sample_rate: int, n_fft: int, n_mels: int,
+                   f_min: float = 0.0, f_max: float | None = None) -> np.ndarray:
+    """(n_freqs, n_mels) triangular filterbank == torchaudio melscale_fbanks
+    with mel_scale="htk", norm=None (the MelSpectrogram defaults used at
+    reference decoder/loss.py:21)."""
+    if f_max is None:
+        f_max = sample_rate / 2.0
+    n_freqs = n_fft // 2 + 1
+    all_freqs = np.linspace(0, sample_rate // 2, n_freqs)
+    m_min, m_max = _hz_to_mel(f_min), _hz_to_mel(f_max)
+    m_pts = np.linspace(m_min, m_max, n_mels + 2)
+    f_pts = _mel_to_hz(m_pts)
+    f_diff = np.diff(f_pts)
+    slopes = f_pts[None, :] - all_freqs[:, None]  # (n_freqs, n_mels + 2)
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    return fb.astype(np.float32)
+
+
+def mel_spectrogram(x: jnp.ndarray, sample_rate: int, n_fft: int,
+                    hop_length: int, n_mels: int, power: float = 1.0,
+                    center: bool = True) -> jnp.ndarray:
+    """Mel spectrogram of (B, L) -> (B, n_mels, T), torchaudio-compatible."""
+    spec = stft(x, n_fft, hop_length, center=center)  # (B, T, F)
+    mag = jnp.abs(spec)
+    if power != 1.0:
+        mag = mag ** power
+    fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels))
+    mel = jnp.einsum("btf,fm->bmt", mag, fb)
+    return mel
+
+
+def safe_log(x: jnp.ndarray, clip_val: float = 1e-7) -> jnp.ndarray:
+    """log with clipping (ref: decoder/modules.py:194-205)."""
+    return jnp.log(jnp.clip(x, min=clip_val))
+
+
+# ---------------------------------------------------------------------------
+# MDCT / IMDCT (alternative heads; ref: decoder/spectral_ops.py:78-192)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=8)
+def _mdct_consts(frame_len: int):
+    N = frame_len // 2
+    n0 = (N + 1) / 2
+    # scipy.signal.windows.cosine
+    n = np.arange(frame_len)
+    window = np.sin(np.pi / frame_len * (n + 0.5)).astype(np.float32)
+    pre = np.exp(-1j * np.pi * np.arange(frame_len) / frame_len)
+    post = np.exp(-1j * np.pi * n0 * (np.arange(N) + 0.5) / N)
+    ipre = np.exp(1j * np.pi * n0 * np.arange(N * 2) / N)
+    ipost = np.exp(1j * np.pi * (np.arange(N * 2) + n0) / (N * 2))
+    return window, pre, post, ipre, ipost
+
+
+def mdct(audio: jnp.ndarray, frame_len: int, padding: str = "same") -> jnp.ndarray:
+    """MDCT of (B, L) -> (B, T, N).  Mirrors decoder/spectral_ops.py:105-130."""
+    window, pre, post, _, _ = _mdct_consts(frame_len)
+    if padding == "center":
+        p = frame_len // 2
+    elif padding == "same":
+        p = frame_len // 4
+    else:
+        raise ValueError("Padding must be 'center' or 'same'.")
+    audio = jnp.pad(audio, ((0, 0), (p, p)))
+    hop = frame_len // 2
+    L = audio.shape[1]
+    T = 1 + (L - frame_len) // hop
+    starts = np.arange(T) * hop
+    idx = starts[:, None] + np.arange(frame_len)[None, :]
+    x = audio[:, idx] * jnp.asarray(window)
+    N = frame_len // 2
+    X = jnp.fft.fft(x * jnp.asarray(pre), axis=-1)[..., :N]
+    res = X * jnp.asarray(post) * np.sqrt(1 / N)
+    return jnp.real(res) * np.sqrt(2)
+
+
+def imdct(X: jnp.ndarray, frame_len: int, padding: str = "same") -> jnp.ndarray:
+    """IMDCT of (B, T, N) -> (B, L).  Mirrors decoder/spectral_ops.py:158-192."""
+    window, _, _, ipre, ipost = _mdct_consts(frame_len)
+    B, T, N = X.shape
+    Y = jnp.concatenate([X, -jnp.conj(jnp.flip(X.astype(jnp.complex64), axis=-1))],
+                        axis=-1)
+    y = jnp.fft.ifft(Y * jnp.asarray(ipre), axis=-1)
+    y = jnp.real(y * jnp.asarray(ipost)) * np.sqrt(N) * np.sqrt(2)
+    result = (y * jnp.asarray(window)).astype(jnp.float32)
+    audio = overlap_add(result, frame_len // 2)
+    if padding == "center":
+        p = frame_len // 2
+    elif padding == "same":
+        p = frame_len // 4
+    else:
+        raise ValueError("Padding must be 'center' or 'same'.")
+    return audio[:, p:audio.shape[1] - p]
