@@ -92,3 +92,25 @@ def sconv_transpose1d(x: jnp.ndarray, kernel: jnp.ndarray,
     y = conv_transpose1d(x, kernel, bias, stride=stride, precision=precision)
     trims = sconvtr1d_unpaddings(kernel_size, stride, causal, trim_right_ratio)
     return unpad1d(y, trims)
+
+
+def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
+           strides: tuple[int, int] = (1, 1),
+           padding: tuple[tuple[int, int], tuple[int, int]] = ((0, 0), (0, 0)),
+           groups: int = 1, precision=None) -> jnp.ndarray:
+    """Plain conv2d in NHWC.  x: (B, H, W, Cin), kernel: (Kh, Kw, Cin//g, Cout).
+
+    Used by the discriminator stacks (period-folded and spectrogram 2-D convs,
+    ref: decoder/discriminators.py, decoder/discriminator_dac.py).
+    """
+    y = lax.conv_general_dilated(
+        x, kernel,
+        window_strides=strides,
+        padding=list(padding),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        precision=precision,
+    )
+    if bias is not None:
+        y = y + bias
+    return y

@@ -1,0 +1,275 @@
+"""GAN discriminators: Vocos MPD/MRD + DAC (MPD + multi-band complex MRD).
+
+Behavioral contracts:
+* MultiPeriodDiscriminator / DiscriminatorP — ref decoder/discriminators.py:9-98
+* MultiResolutionDiscriminator / DiscriminatorR — ref decoder/discriminators.py:101-202
+* DACDiscriminator (MPD periods 2,3,5,7,11 + complex multi-band MRD at fft
+  2048/1024/512, DC-removal + 0.8 peak-norm preprocess) —
+  ref decoder/discriminator_dac.py:36-237
+
+TPU-native design: channel-last NHWC conv2d stacks; STFTs via the shared
+ops.spectral framing (rectangular window, center reflect-pad, matching
+torch.stft defaults used by the reference).  All convs carry weight-norm
+(v, g) training parametrization (see train.wnorm).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.conv import conv2d
+from ..ops.spectral import stft
+from .wnorm import fold_tree
+
+LRELU_SLOPE = 0.1
+
+
+def _lrelu(x):
+    return jax.nn.leaky_relu(x, LRELU_SLOPE)
+
+
+# --------------------------------------------------------------------------
+# Param init (torch Conv2d defaults: U(+-1/sqrt(fan_in)), then weight_norm)
+# --------------------------------------------------------------------------
+
+def _conv2d_wn_init(rng, kh, kw, cin, cout):
+    fan_in = cin * kh * kw
+    bound = 1.0 / np.sqrt(fan_in)
+    kernel = rng.uniform(-bound, bound, size=(kh, kw, cin, cout)).astype(np.float32)
+    g = np.sqrt((kernel.astype(np.float64) ** 2).sum(axis=(0, 1, 2),
+                                                     keepdims=True)).astype(np.float32)
+    bias = rng.uniform(-bound, bound, size=(cout,)).astype(np.float32)
+    return {"v": kernel, "g": g, "bias": bias}
+
+
+VOCOS_MPD_PERIODS = (2, 3, 5, 7, 11)
+VOCOS_MRD_RESOLUTIONS = ((1024, 256, 1024), (2048, 512, 2048), (512, 128, 512))
+DAC_PERIODS = (2, 3, 5, 7, 11)
+DAC_FFT_SIZES = (2048, 1024, 512)
+DAC_BANDS = ((0.0, 0.1), (0.1, 0.25), (0.25, 0.5), (0.5, 0.75), (0.75, 1.0))
+
+
+def init_discriminators(seed: int = 0, num_embeddings: int | None = 4) -> dict:
+    """Init all three discriminator families (ref: experiment.py:387-389)."""
+    rng = np.random.default_rng(seed)
+    params = {"mpd": [], "mrd": [], "dac_mpd": [], "dac_mrd": []}
+
+    for _p in VOCOS_MPD_PERIODS:
+        chans = [(1, 32), (32, 128), (128, 512), (512, 1024), (1024, 1024)]
+        d = {"convs": [_conv2d_wn_init(rng, 5, 1, ci, co) for ci, co in chans],
+             "conv_post": _conv2d_wn_init(rng, 3, 1, 1024, 1)}
+        if num_embeddings is not None:
+            d["emb"] = np.zeros((num_embeddings, 1024), np.float32)
+        params["mpd"].append(d)
+
+    for _r in VOCOS_MRD_RESOLUTIONS:
+        ch = 64
+        specs = [(7, 5, 1, ch), (5, 3, ch, ch), (5, 3, ch, ch), (3, 3, ch, ch),
+                 (3, 3, ch, ch)]
+        d = {"convs": [_conv2d_wn_init(rng, kh, kw, ci, co)
+                       for kh, kw, ci, co in specs],
+             "conv_post": _conv2d_wn_init(rng, 3, 3, ch, 1)}
+        if num_embeddings is not None:
+            d["emb"] = np.zeros((num_embeddings, ch), np.float32)
+        params["mrd"].append(d)
+
+    for _p in DAC_PERIODS:
+        chans = [(1, 32), (32, 128), (128, 512), (512, 1024), (1024, 1024)]
+        params["dac_mpd"].append(
+            {"convs": [_conv2d_wn_init(rng, 5, 1, ci, co) for ci, co in chans],
+             "conv_post": _conv2d_wn_init(rng, 3, 1, 1024, 1)})
+
+    for _f in DAC_FFT_SIZES:
+        ch = 32
+        band_convs = []
+        for _b in DAC_BANDS:
+            band_convs.append([
+                _conv2d_wn_init(rng, 3, 9, 2, ch),
+                _conv2d_wn_init(rng, 3, 9, ch, ch),
+                _conv2d_wn_init(rng, 3, 9, ch, ch),
+                _conv2d_wn_init(rng, 3, 9, ch, ch),
+                _conv2d_wn_init(rng, 3, 3, ch, ch),
+            ])
+        params["dac_mrd"].append({"bands": band_convs,
+                                  "conv_post": _conv2d_wn_init(rng, 3, 3, ch, 1)})
+    return params
+
+
+# --------------------------------------------------------------------------
+# Vocos DiscriminatorP (ref: discriminators.py:42-98)
+# --------------------------------------------------------------------------
+
+def _fold_to_period(x: jnp.ndarray, period: int, always_pad: bool) -> jnp.ndarray:
+    """(B, T) -> (B, T'/p, p, 1) with reflect right-pad to a multiple of p.
+
+    Vocos pads only when t % p != 0; DAC pads p - t%p unconditionally
+    (p extra samples when already divisible) — ref discriminator_dac.py:53-56.
+    """
+    B, T = x.shape
+    rem = T % period
+    if rem != 0 or always_pad:
+        n_pad = period - rem
+        x = jnp.pad(x, ((0, 0), (0, n_pad)), mode="reflect")
+        T = T + n_pad
+    return x.reshape(B, T // period, period, 1)
+
+
+def discriminator_p(params: dict, period: int, x: jnp.ndarray,
+                    cond_embedding_id=None):
+    """x: (B, T) audio.  Returns (logits (B, N), fmap list)."""
+    folded = fold_tree(params)
+    h = _fold_to_period(x, period, always_pad=False)
+    fmap = []
+    for i, c in enumerate(folded["convs"]):
+        stride = (3, 1) if i < 4 else (1, 1)
+        h = conv2d(h, c["kernel"], c["bias"], strides=stride,
+                   padding=((2, 2), (0, 0)))
+        h = _lrelu(h)
+        if i > 0:
+            fmap.append(h)
+    if cond_embedding_id is not None:
+        emb = params["emb"][cond_embedding_id]          # (1024,)
+        cond = jnp.sum(emb * h, axis=-1, keepdims=True)  # (B, H, W, 1)
+    else:
+        cond = 0.0
+    out = conv2d(h, folded["conv_post"]["kernel"], folded["conv_post"]["bias"],
+                 padding=((1, 1), (0, 0)))
+    fmap.append(out)
+    out = out + cond
+    return out.reshape(out.shape[0], -1), fmap
+
+
+# --------------------------------------------------------------------------
+# Vocos DiscriminatorR (ref: discriminators.py:141-202)
+# --------------------------------------------------------------------------
+
+def discriminator_r(params: dict, resolution: tuple, x: jnp.ndarray,
+                    cond_embedding_id=None):
+    """x: (B, T) audio.  Rectangular-window magnitude STFT then conv2d stack."""
+    n_fft, hop, win = resolution
+    folded = fold_tree(params)
+    ones = np.ones(win, np.float32)
+    spec = stft(x, n_fft, hop, win_length=win, window=ones, center=True,
+                pad_mode="reflect")                     # (B, T', F)
+    mag = jnp.abs(spec)
+    # torch layout (B, 1, F, T') -> NHWC (B, F, T', 1)
+    h = jnp.swapaxes(mag, 1, 2)[..., None]
+    fmap = []
+    conv_cfg = [((7, 5), (2, 2), (3, 2)), ((5, 3), (2, 1), (2, 1)),
+                ((5, 3), (2, 2), (2, 1)), ((3, 3), (2, 1), (1, 1)),
+                ((3, 3), (2, 2), (1, 1))]
+    for c, (k, s, p) in zip(folded["convs"], conv_cfg):
+        h = conv2d(h, c["kernel"], c["bias"], strides=s,
+                   padding=((p[0], p[0]), (p[1], p[1])))
+        h = _lrelu(h)
+        fmap.append(h)
+    if cond_embedding_id is not None:
+        emb = params["emb"][cond_embedding_id]
+        cond = jnp.sum(emb * h, axis=-1, keepdims=True)
+    else:
+        cond = 0.0
+    out = conv2d(h, folded["conv_post"]["kernel"], folded["conv_post"]["bias"],
+                 padding=((1, 1), (1, 1)))
+    fmap.append(out)
+    out = out + cond
+    return out.reshape(out.shape[0], -1), fmap
+
+
+def multi_period_discriminator(params: list, y: jnp.ndarray, y_hat: jnp.ndarray,
+                               bandwidth_id=None):
+    """ref: discriminators.py:24-39.  Returns (real_scores, gen_scores,
+    fmaps_real, fmaps_gen), each a list over periods."""
+    rs, gs, fr, fg = [], [], [], []
+    for p, period in zip(params, VOCOS_MPD_PERIODS):
+        r, fmap_r = discriminator_p(p, period, y, bandwidth_id)
+        g, fmap_g = discriminator_p(p, period, y_hat, bandwidth_id)
+        rs.append(r); gs.append(g); fr.append(fmap_r); fg.append(fmap_g)
+    return rs, gs, fr, fg
+
+
+def multi_resolution_discriminator(params: list, y: jnp.ndarray,
+                                   y_hat: jnp.ndarray, bandwidth_id=None):
+    rs, gs, fr, fg = [], [], [], []
+    for p, res in zip(params, VOCOS_MRD_RESOLUTIONS):
+        r, fmap_r = discriminator_r(p, res, y, bandwidth_id)
+        g, fmap_g = discriminator_r(p, res, y_hat, bandwidth_id)
+        rs.append(r); gs.append(g); fr.append(fmap_r); fg.append(fmap_g)
+    return rs, gs, fr, fg
+
+
+# --------------------------------------------------------------------------
+# DAC discriminator (ref: discriminator_dac.py)
+# --------------------------------------------------------------------------
+
+def _dac_preprocess(y: jnp.ndarray) -> jnp.ndarray:
+    """DC removal + 0.8 peak normalization (ref: discriminator_dac.py:227-232)."""
+    y = y - jnp.mean(y, axis=-1, keepdims=True)
+    return 0.8 * y / (jnp.max(jnp.abs(y), axis=-1, keepdims=True) + 1e-9)
+
+
+def _dac_mpd(params: dict, period: int, x: jnp.ndarray):
+    """x: (B, T).  fmap = every intermediate incl. conv_post output."""
+    folded = fold_tree(params)
+    h = _fold_to_period(x, period, always_pad=True)
+    fmap = []
+    for i, c in enumerate(folded["convs"]):
+        h = conv2d(h, c["kernel"], c["bias"], strides=(3, 1) if i < 4 else (1, 1),
+                   padding=((2, 2), (0, 0)))
+        h = _lrelu(h)
+        fmap.append(h)
+    out = conv2d(h, folded["conv_post"]["kernel"], folded["conv_post"]["bias"],
+                 padding=((1, 1), (0, 0)))
+    fmap.append(out)
+    return fmap
+
+
+def _dac_mrd(params: dict, n_fft: int, x: jnp.ndarray):
+    """Complex multi-band spectrogram discriminator (ref: :110-191).
+
+    torch.stft defaults: hop = n_fft // 4, rectangular window, center=True
+    reflect pad.  Real/imag become 2 input channels; bands split the
+    frequency axis; convs run (T, F) with stride-2 downsampling on F.
+    """
+    folded = fold_tree(params)
+    hop = n_fft // 4
+    ones = np.ones(n_fft, np.float32)
+    spec = stft(x, n_fft, hop, win_length=n_fft, window=ones, center=True,
+                pad_mode="reflect")                     # (B, T', F)
+    h = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)  # (B, T', F, 2)
+    n_bins = n_fft // 2 + 1
+    bands = [(int(lo * n_bins), int(hi * n_bins)) for lo, hi in DAC_BANDS]
+
+    fmap = []
+    outs = []
+    conv_cfg = [((3, 9), (1, 1), (1, 4)), ((3, 9), (1, 2), (1, 4)),
+                ((3, 9), (1, 2), (1, 4)), ((3, 9), (1, 2), (1, 4)),
+                ((3, 3), (1, 1), (1, 1))]
+    for (lo, hi), stack in zip(bands, folded["bands"]):
+        b = h[:, :, lo:hi, :]
+        for c, (k, s, p) in zip(stack, conv_cfg):
+            b = conv2d(b, c["kernel"], c["bias"], strides=s,
+                       padding=((p[0], p[0]), (p[1], p[1])))
+            b = _lrelu(b)
+            fmap.append(b)
+        outs.append(b)
+    out = jnp.concatenate(outs, axis=2)  # concat along F
+    out = conv2d(out, folded["conv_post"]["kernel"], folded["conv_post"]["bias"],
+                 padding=((1, 1), (1, 1)))
+    fmap.append(out)
+    return fmap
+
+
+def dac_discriminator(params: dict, x: jnp.ndarray) -> list:
+    """x: (B, T).  Returns list of fmap-lists, one per sub-discriminator
+    (ref: discriminator_dac.py:234-237)."""
+    x = _dac_preprocess(x)
+    fmaps = []
+    for p, period in zip(params["dac_mpd"], DAC_PERIODS):
+        fmaps.append(_dac_mpd(p, period, x))
+    for p, n_fft in zip(params["dac_mrd"], DAC_FFT_SIZES):
+        fmaps.append(_dac_mrd(p, n_fft, x))
+    return fmaps

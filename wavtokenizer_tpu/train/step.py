@@ -1,0 +1,241 @@
+"""The two-optimizer GAN training step as a pure jit-able function.
+
+Behavioral contract: decoder/experiment.py:86-218 + 338-462 —
+AdamW x2 (disc: MPD+MRD+DAC; gen: encoder+backbone+head), cosine LR with
+warmup over max_steps//2, per-batch order = disc update THEN gen update
+(the generator therefore sees the freshly-updated discriminators, matching
+Lightning's multi-optimizer loop), random bandwidth_id per step, VQ EMA
+state advancing in BOTH forwards (the torch module updates its buffers in
+the disc-phase no_grad forward too).
+
+Faithfulness notes:
+* Only {encoder, backbone, head} are optimized: the SEANet decoder and the
+  VQ codebooks are buffers/no-grad params in the reference optimizer and
+  receive no AdamW updates (experiment.py:92-96; torch skips grad-less
+  params, so they also escape weight decay).
+* Weight-normed convs train in (v, g) parametrization (train.wnorm).
+* The mel coefficient (optionally cosine-decayed, experiment.py:324-335)
+  is passed in as a scalar so decay happens host-side without recompiles.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.seanet import encoder_layer_specs, seanet_encode
+from ..models.vocos import istft_head, vocos_backbone
+from ..models.wavtokenizer import WavTokenizerSpec
+from ..models.init import init_wavtokenizer
+from .discriminators import (init_discriminators, multi_period_discriminator,
+                             multi_resolution_discriminator)
+from .losses import (dac_discriminator_loss, dac_generator_loss,
+                     feature_matching_loss, hinge_discriminator_loss,
+                     hinge_generator_loss, mel_loss)
+from .vq_train import vq_train_forward
+from .wnorm import fold_tree, seanet_to_weight_norm
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Mirror of the experiment hyperparameters (ref: experiment.py:24-42
+    and configs/*.yaml model.init_args)."""
+    sample_rate: int = 24000
+    initial_learning_rate: float = 2e-4
+    num_warmup_steps: int = 0
+    mel_loss_coeff: float = 45.0
+    mrd_loss_coeff: float = 1.0
+    pretrain_mel_steps: int = 0
+    decay_mel_coeff: bool = False
+    max_steps: int = 2_000_000
+    num_bandwidths: int = 4
+    weight_decay: float = 0.01  # torch AdamW default
+
+
+def cosine_schedule_with_warmup(base_lr: float, num_warmup_steps: int,
+                                num_training_steps: int):
+    """transformers.get_cosine_schedule_with_warmup (ref: experiment.py:102-107)."""
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(1.0, num_warmup_steps)
+        progress = (step - num_warmup_steps) / jnp.maximum(
+            1.0, num_training_steps - num_warmup_steps)
+        cos = jnp.maximum(0.0, 0.5 * (1.0 + jnp.cos(jnp.pi * progress)))
+        return base_lr * jnp.where(step < num_warmup_steps, warm, cos)
+    return schedule
+
+
+def make_optimizers(tcfg: TrainConfig):
+    sched = cosine_schedule_with_warmup(tcfg.initial_learning_rate,
+                                        tcfg.num_warmup_steps,
+                                        tcfg.max_steps // 2)
+    opt = partial(optax.adamw, b1=0.9, b2=0.999, eps=1e-8,
+                  weight_decay=tcfg.weight_decay)
+    return opt(sched), opt(sched)
+
+
+def create_train_state(spec: WavTokenizerSpec, tcfg: TrainConfig,
+                       seed: int = 0) -> dict:
+    """Fresh training state: generator (weight-normed), discriminators,
+    VQ state, optimizer states, step counter."""
+    params = init_wavtokenizer(spec, seed=seed)
+    enc_specs = encoder_layer_specs(spec.seanet)
+    gen = {
+        "encoder": seanet_to_weight_norm(params["encoder"], enc_specs),
+        "backbone": params["backbone"],
+        "head": params["head"],
+    }
+    disc = init_discriminators(seed=seed + 1,
+                               num_embeddings=tcfg.num_bandwidths)
+    vq = params["quantizer"]
+    opt_disc, opt_gen = make_optimizers(tcfg)
+    state = {
+        "gen": gen,
+        "disc": disc,
+        "vq": vq,
+        "decoder": params["decoder"],   # carried, not optimized
+        "opt_gen": opt_gen.init(gen),
+        "opt_disc": opt_disc.init(disc),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    return jax.tree.map(jnp.asarray, state)
+
+
+def generator_forward(gen: dict, vq: dict, spec: WavTokenizerSpec,
+                      audio: jnp.ndarray, bandwidth_id, key, n_q: int):
+    """Training forward: encoder -> VQ(train) -> backbone -> head
+    (ref: experiment.py:114-119 via feature_extractors.py:105-119)."""
+    enc = fold_tree(gen["encoder"])
+    emb = seanet_encode(enc, spec.seanet, audio[:, :, None])
+    quantized, codes, commit, new_vq = vq_train_forward(vq, spec.vq, emb, key,
+                                                        n_q=n_q)
+    h = vocos_backbone(gen["backbone"], spec.backbone, quantized,
+                       bandwidth_id=bandwidth_id)
+    audio_hat = istft_head(gen["head"], spec.head, h)
+    return audio_hat, commit, new_vq
+
+
+def _disc_loss_fn(disc, audio_hat, audio, bandwidth_id, mrd_coeff):
+    """ref: experiment.py:125-148."""
+    loss_dac = dac_discriminator_loss(disc, audio_hat, audio)
+    real_mp, gen_mp, _, _ = multi_period_discriminator(disc["mpd"], audio,
+                                                       audio_hat, bandwidth_id)
+    real_mrd, gen_mrd, _, _ = multi_resolution_discriminator(
+        disc["mrd"], audio, audio_hat, bandwidth_id)
+    loss_mp = hinge_discriminator_loss(real_mp, gen_mp) / len(real_mp)
+    loss_mrd = hinge_discriminator_loss(real_mrd, gen_mrd) / len(real_mrd)
+    loss = loss_mp + mrd_coeff * loss_mrd + loss_dac
+    return loss, {"disc_total": loss, "disc_mp": loss_mp, "disc_mrd": loss_mrd,
+                  "disc_dac": loss_dac}
+
+
+def _gen_loss_fn(gen, disc, vq, spec, audio, bandwidth_id, key, n_q,
+                 mel_coeff, mrd_coeff, train_discriminator):
+    """ref: experiment.py:151-218."""
+    audio_hat, commit_loss, new_vq = generator_forward(
+        gen, vq, spec, audio, bandwidth_id, key, n_q)
+    l_mel = mel_loss(audio_hat, audio, spec.sample_rate)
+    metrics = {"mel_loss": l_mel, "commit_loss": commit_loss}
+    loss = mel_coeff * l_mel + 1000.0 * commit_loss
+    if train_discriminator:
+        dac_g, dac_feat = dac_generator_loss(disc, audio_hat, audio)
+        _, gen_mp, fr_mp, fg_mp = multi_period_discriminator(
+            disc["mpd"], audio, audio_hat, bandwidth_id)
+        _, gen_mrd, fr_mrd, fg_mrd = multi_resolution_discriminator(
+            disc["mrd"], audio, audio_hat, bandwidth_id)
+        loss_gen_mp = hinge_generator_loss(gen_mp) / len(gen_mp)
+        loss_gen_mrd = hinge_generator_loss(gen_mrd) / len(gen_mrd)
+        loss_fm_mp = feature_matching_loss(fr_mp, fg_mp) / len(fr_mp)
+        loss_fm_mrd = feature_matching_loss(fr_mrd, fg_mrd) / len(fr_mrd)
+        loss = (loss + loss_gen_mp + mrd_coeff * loss_gen_mrd + loss_fm_mp
+                + mrd_coeff * loss_fm_mrd + dac_g + dac_feat)
+        metrics.update({"gen_mp": loss_gen_mp, "gen_mrd": loss_gen_mrd,
+                        "fm_mp": loss_fm_mp, "fm_mrd": loss_fm_mrd,
+                        "dac_gen": dac_g, "dac_feat": dac_feat})
+    metrics["gen_total"] = loss
+    return loss, (metrics, new_vq, audio_hat)
+
+
+@partial(jax.jit, static_argnames=("spec", "tcfg", "train_discriminator", "n_q"),
+         donate_argnames=("state",))
+def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
+               tcfg: TrainConfig, mel_coeff: float | jnp.ndarray = 45.0,
+               train_discriminator: bool = True, n_q: int = 1):
+    """One full batch = disc update then gen update (Lightning order).
+
+    audio: (B, T) 24 kHz crops.  Returns (new_state, metrics dict).
+    """
+    opt_disc_tx, opt_gen_tx = make_optimizers(tcfg)
+    k_bw, k_vq1, k_vq2 = jax.random.split(key, 3)
+    bandwidth_id = jax.random.randint(k_bw, (), 0, tcfg.num_bandwidths)
+
+    metrics = {}
+    disc = state["disc"]
+    vq = state["vq"]
+
+    if train_discriminator:
+        # --- discriminator phase (no grads through the generator) --------
+        audio_hat_d, _, vq = generator_forward(
+            state["gen"], vq, spec, audio, bandwidth_id, k_vq1, n_q)
+        audio_hat_d = jax.lax.stop_gradient(audio_hat_d)
+        vq = jax.lax.stop_gradient(vq)
+
+        (_, d_metrics), d_grads = jax.value_and_grad(
+            _disc_loss_fn, has_aux=True)(disc, audio_hat_d, audio,
+                                         bandwidth_id, tcfg.mrd_loss_coeff)
+        d_updates, new_opt_disc = opt_disc_tx.update(d_grads,
+                                                     state["opt_disc"], disc)
+        disc = optax.apply_updates(disc, d_updates)
+        metrics.update(d_metrics)
+    else:
+        new_opt_disc = state["opt_disc"]
+
+    # --- generator phase --------------------------------------------------
+    (_, (g_metrics, new_vq, _)), g_grads = jax.value_and_grad(
+        _gen_loss_fn, has_aux=True)(state["gen"], disc, vq, spec, audio,
+                                    bandwidth_id, k_vq2, n_q, mel_coeff,
+                                    tcfg.mrd_loss_coeff, train_discriminator)
+    g_updates, new_opt_gen = opt_gen_tx.update(g_grads, state["opt_gen"],
+                                               state["gen"])
+    gen = optax.apply_updates(state["gen"], g_updates)
+    metrics.update(g_metrics)
+
+    new_state = {
+        "gen": gen,
+        "disc": disc,
+        "vq": jax.lax.stop_gradient(new_vq),
+        "decoder": state["decoder"],
+        "opt_gen": new_opt_gen,
+        "opt_disc": new_opt_disc,
+        "step": state["step"] + 1,
+    }
+    return new_state, metrics
+
+
+def mel_coeff_decay(tcfg: TrainConfig, step: int, num_cycles: float = 0.5) -> float:
+    """Host-side mel-coefficient cosine decay (ref: experiment.py:324-335)."""
+    if not tcfg.decay_mel_coeff:
+        return tcfg.mel_loss_coeff
+    max_steps = tcfg.max_steps // 2
+    if step < tcfg.num_warmup_steps:
+        return tcfg.mel_loss_coeff
+    progress = float(step - tcfg.num_warmup_steps) / float(
+        max(1, max_steps - tcfg.num_warmup_steps))
+    return tcfg.mel_loss_coeff * max(
+        0.0, 0.5 * (1.0 + math.cos(math.pi * num_cycles * 2.0 * progress)))
+
+
+def state_to_inference_params(state: dict, spec: WavTokenizerSpec) -> dict:
+    """Fold weight norm and assemble the inference param pytree."""
+    return {
+        "encoder": fold_tree(state["gen"]["encoder"]),
+        "decoder": state["decoder"],
+        "quantizer": state["vq"],
+        "backbone": state["gen"]["backbone"],
+        "head": state["gen"]["head"],
+    }
