@@ -16,6 +16,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+from wavtokenizer_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 

@@ -24,10 +24,18 @@ def _install_torchaudio_stub():
     if "torchaudio" in sys.modules:
         return
 
-    ta = types.ModuleType("torchaudio")
-    functional = types.ModuleType("torchaudio.functional")
-    functional_inner = types.ModuleType("torchaudio.functional.functional")
-    transforms = types.ModuleType("torchaudio.transforms")
+    import importlib.machinery
+
+    def _mod(name):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        return m
+
+    ta = _mod("torchaudio")
+    ta.__version__ = "0.0.0-stub"
+    functional = _mod("torchaudio.functional")
+    functional_inner = _mod("torchaudio.functional.functional")
+    transforms = _mod("torchaudio.transforms")
 
     def _hz_to_mel(freq, mel_scale="htk"):
         return 2595.0 * math.log10(1.0 + freq / 700.0)

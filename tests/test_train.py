@@ -1,0 +1,207 @@
+"""Training-component parity tests: discriminators, losses, VQ-EMA, schedule."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import ref_utils as R
+
+needs_ref = pytest.mark.skipif(not R.HAVE_REFERENCE,
+                               reason="torch reference not available")
+
+
+def _to_jax_disc_params(sd, prefix_convs, n_convs, prefix_post, emb_key=None):
+    """Build our (v,g,bias) conv2d dicts from a torch discriminator state_dict.
+    torch conv2d weight (O, I, Kh, Kw) -> our v (Kh, Kw, I, O); g (O,1,1)->(1,1,1,O)."""
+    def conv(p):
+        v = sd[f"{p}.weight_v"].transpose(2, 3, 1, 0)
+        g = sd[f"{p}.weight_g"].reshape(1, 1, 1, -1)
+        return {"v": jnp.asarray(v), "g": jnp.asarray(g),
+                "bias": jnp.asarray(sd[f"{p}.bias"])}
+    out = {"convs": [conv(f"{prefix_convs}.{i}") for i in range(n_convs)],
+           "conv_post": conv(prefix_post)}
+    if emb_key and f"{emb_key}.weight" in sd:
+        out["emb"] = jnp.asarray(sd[f"{emb_key}.weight"])
+    return out
+
+
+@needs_ref
+@pytest.mark.parametrize("period", [2, 3, 5])
+def test_discriminator_p_parity(period):
+    import torch
+    from decoder.discriminators import DiscriminatorP
+
+    R.seed_all(20)
+    m = DiscriminatorP(period=period, num_embeddings=4)
+    m.eval()
+    x = torch.randn(2, 3000)
+    bw = torch.tensor(1)
+    with torch.no_grad():
+        logits_ref, fmap_ref = m(x, cond_embedding_id=bw)
+
+    from wavtokenizer_tpu.train.discriminators import discriminator_p
+    sd = R.state_dict_numpy(m)
+    params = _to_jax_disc_params(sd, "convs", 5, "conv_post", "emb")
+    logits, fmap = discriminator_p(params, period, jnp.asarray(x.numpy()), 1)
+    np.testing.assert_allclose(np.asarray(logits), logits_ref.numpy(),
+                               atol=1e-4, rtol=1e-3)
+    assert len(fmap) == len(fmap_ref)
+    # fmaps are NHWC vs torch NCHW
+    for f, fr in zip(fmap, fmap_ref):
+        np.testing.assert_allclose(np.asarray(f).transpose(0, 3, 1, 2),
+                                   fr.numpy(), atol=1e-4, rtol=1e-3)
+
+
+@needs_ref
+@pytest.mark.parametrize("resolution", [(1024, 256, 1024), (512, 128, 512)])
+def test_discriminator_r_parity(resolution):
+    import torch
+    from decoder.discriminators import DiscriminatorR
+
+    R.seed_all(21)
+    m = DiscriminatorR(resolution=resolution, num_embeddings=4)
+    m.eval()
+    x = torch.randn(2, 6000)
+    bw = torch.tensor(2)
+    with torch.no_grad():
+        logits_ref, fmap_ref = m(x, cond_embedding_id=bw)
+
+    from wavtokenizer_tpu.train.discriminators import discriminator_r
+    sd = R.state_dict_numpy(m)
+    params = _to_jax_disc_params(sd, "convs", 5, "conv_post", "emb")
+    logits, fmap = discriminator_r(params, resolution, jnp.asarray(x.numpy()), 2)
+    np.testing.assert_allclose(np.asarray(logits), logits_ref.numpy(),
+                               atol=1e-3, rtol=1e-2)
+    assert len(fmap) == len(fmap_ref)
+
+
+@needs_ref
+def test_dac_discriminator_parity():
+    import torch
+    from decoder.discriminator_dac import DACDiscriminator
+
+    R.seed_all(22)
+    m = DACDiscriminator()
+    m.eval()
+    x = torch.randn(2, 1, 4000)
+    with torch.no_grad():
+        fmaps_ref = m(x)
+
+    from wavtokenizer_tpu.train.discriminators import (DAC_FFT_SIZES,
+                                                       DAC_PERIODS,
+                                                       dac_discriminator)
+    sd = R.state_dict_numpy(m)
+
+    def conv(p):
+        v = sd[f"{p}.weight_v"].transpose(2, 3, 1, 0)
+        g = sd[f"{p}.weight_g"].reshape(1, 1, 1, -1)
+        return {"v": jnp.asarray(v), "g": jnp.asarray(g),
+                "bias": jnp.asarray(sd[f"{p}.bias"])}
+
+    params = {"dac_mpd": [], "dac_mrd": []}
+    for i in range(len(DAC_PERIODS)):
+        p = f"discriminators.{i}"
+        params["dac_mpd"].append(
+            {"convs": [conv(f"{p}.convs.{j}.0") for j in range(5)],
+             "conv_post": conv(f"{p}.conv_post")})
+    for i in range(len(DAC_FFT_SIZES)):
+        p = f"discriminators.{len(DAC_PERIODS) + i}"
+        bands = [[conv(f"{p}.band_convs.{b}.{j}.0") for j in range(5)]
+                 for b in range(5)]
+        params["dac_mrd"].append({"bands": bands,
+                                  "conv_post": conv(f"{p}.conv_post")})
+
+    fmaps = dac_discriminator(params, jnp.asarray(x.numpy()[:, 0, :]))
+    assert len(fmaps) == len(fmaps_ref)
+    for fm, fm_ref in zip(fmaps, fmaps_ref):
+        assert len(fm) == len(fm_ref)
+        # compare the discriminator outputs (last fmap entry, used in losses)
+        ours = np.asarray(fm[-1]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, fm_ref[-1].numpy(), atol=2e-3,
+                                   rtol=1e-2)
+
+
+@needs_ref
+def test_mel_loss_parity():
+    """Our mel loss vs the reference MelSpecReconstructionLoss recomputed
+    with torch.stft (torchaudio absent -> rebuild its MelSpectrogram via
+    torch.stft + our filterbank, validated against torch exactly)."""
+    import torch
+
+    R.seed_all(23)
+    y = torch.randn(2, 24000)
+    y_hat = torch.randn(2, 24000)
+
+    # torch-side mel: stft(center, reflect), |.|, htk mel fb, safe_log L1
+    from wavtokenizer_tpu.ops.spectral import mel_filterbank
+    win = torch.hann_window(1024)
+    def torch_mel(x):
+        s = torch.stft(x, 1024, 256, window=win, center=True,
+                       pad_mode="reflect", return_complex=True, onesided=True)
+        mag = s.abs()
+        fb = torch.from_numpy(mel_filterbank(24000, 1024, 100))
+        return torch.matmul(fb.t(), mag)
+    ref = torch.nn.functional.l1_loss(
+        torch.log(torch.clip(torch_mel(y), min=1e-7)),
+        torch.log(torch.clip(torch_mel(y_hat), min=1e-7)))
+
+    from wavtokenizer_tpu.train.losses import mel_loss
+    ours = mel_loss(jnp.asarray(y_hat.numpy()), jnp.asarray(y.numpy()))
+    np.testing.assert_allclose(float(ours), float(ref), atol=1e-4)
+
+
+@needs_ref
+def test_lr_schedule_matches_transformers():
+    import torch
+    import transformers
+
+    opt = torch.optim.AdamW([torch.nn.Parameter(torch.zeros(1))], lr=2e-4)
+    sched = transformers.get_cosine_schedule_with_warmup(
+        opt, num_warmup_steps=100, num_training_steps=1000)
+    ref = []
+    for _ in range(1000):
+        ref.append(opt.param_groups[0]["lr"])
+        opt.step()
+        sched.step()
+
+    from wavtokenizer_tpu.train.step import cosine_schedule_with_warmup
+    ours = cosine_schedule_with_warmup(2e-4, 100, 1000)
+    got = [float(ours(i)) for i in range(1000)]
+    np.testing.assert_allclose(got, ref, atol=1e-9)
+
+
+def test_vq_train_forward_behavior():
+    """k-means init fires once; EMA moves the codebook; straight-through
+    passes gradients; commit loss is nonnegative."""
+    from wavtokenizer_tpu.models.quantize import VQConfig
+    from wavtokenizer_tpu.models.init import init_quantizer
+    from wavtokenizer_tpu.train.vq_train import vq_train_forward
+
+    cfg = VQConfig(dimension=8, bins=16, kmeans_iters=4)
+    params = {k: jnp.asarray(v) for k, v in init_quantizer(np.random.default_rng(0), cfg).items()}
+    assert float(params["inited"][0, 0]) == 0.0
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 50, 8)).astype(np.float32))
+
+    q, codes, commit, new_params = vq_train_forward(params, cfg, x,
+                                                    jax.random.PRNGKey(0))
+    assert float(new_params["inited"][0, 0]) == 1.0
+    assert codes.shape == (1, 2, 50)
+    assert float(commit) >= 0.0
+    # straight-through: grad wrt x of sum(quantized) should be ones
+    g = jax.grad(lambda x: jnp.sum(vq_train_forward(params, cfg, x,
+                                                    jax.random.PRNGKey(0))[0]))(x)
+    np.testing.assert_allclose(np.asarray(g), np.ones_like(g), atol=1e-6)
+    # second call with inited params: EMA moves embed
+    q2, _, _, p2 = vq_train_forward(new_params, cfg, x, jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(p2["embed"]), np.asarray(new_params["embed"]))
+
+
+def test_weight_norm_fold_roundtrip():
+    from wavtokenizer_tpu.train.wnorm import fold_tree, weight_norm_conv
+    rng = np.random.default_rng(0)
+    kernel = rng.normal(size=(7, 4, 8)).astype(np.float32)
+    p = weight_norm_conv({"kernel": kernel, "bias": np.zeros(8, np.float32)})
+    folded = fold_tree({"c": p})["c"]
+    np.testing.assert_allclose(np.asarray(folded["kernel"]), kernel, atol=1e-5)

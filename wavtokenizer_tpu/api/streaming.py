@@ -1,0 +1,86 @@
+"""Chunked long-form encode/decode with overlap cross-fade.
+
+Behavioral contract: the fork's long-audio inference (ref: tsne_inf.py:63-157
+— 3 s segments, 25% overlap, linear fade-in/out cross-fade) and EnCodec's
+segmented overlap-add (ref: encoder/model.py:122-178, ops.resample.
+linear_overlap_add).
+
+TPU-first design: instead of looping segments through the model one by one
+(the reference's python loop), all chunks are STACKED INTO THE BATCH AXIS
+and processed in a single device call with one compiled shape — a 60 s clip
+is 27 chunks = one (27, 72000) batch.  The cross-fade is a vectorized
+weighted overlap-add on device.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def chunk_audio(audio: jnp.ndarray, chunk_samples: int,
+                overlap: float = 0.25) -> tuple[jnp.ndarray, int, int]:
+    """(T,) or (B=1, T) -> (num_chunks, chunk_samples), stride, orig_len.
+
+    The tail chunk is zero-padded to keep shapes static (trimmed after
+    decode)."""
+    if audio.ndim == 2:
+        assert audio.shape[0] == 1, "chunking expects a single stream"
+        audio = audio[0]
+    T = audio.shape[0]
+    stride = int(chunk_samples * (1 - overlap))
+    num_chunks = max(1, math.ceil(max(T - chunk_samples, 0) / stride) + 1)
+    total = (num_chunks - 1) * stride + chunk_samples
+    audio = jnp.pad(audio, (0, total - T))
+    starts = np.arange(num_chunks) * stride
+    idx = starts[:, None] + np.arange(chunk_samples)[None, :]
+    return audio[idx], stride, T
+
+
+def crossfade_join(chunks: jnp.ndarray, stride: int, orig_len: int) -> jnp.ndarray:
+    """Weighted overlap-add with linear fade-in/out over the overlap region
+    (ref: tsne_inf.py:95-123).  chunks: (N, L) -> (orig_len,)."""
+    N, L = chunks.shape
+    overlap = L - stride
+    weight = np.ones(L, np.float32)
+    if overlap > 0:
+        ramp = np.linspace(0.0, 1.0, overlap, dtype=np.float32)
+        weight[:overlap] = ramp
+        weight[-overlap:] = ramp[::-1]
+    w = jnp.asarray(weight)
+    total = (N - 1) * stride + L
+    out = jnp.zeros(total, jnp.float32)
+    den = jnp.zeros(total, jnp.float32)
+    for i in range(N):  # static loop; XLA fuses into strided adds
+        out = out.at[i * stride:i * stride + L].add(chunks[i] * w)
+        den = den.at[i * stride:i * stride + L].add(w)
+    return (out / jnp.maximum(den, 1e-8))[:orig_len]
+
+
+def encode_infer_chunked(wt, audio, chunk_seconds: float = 3.0,
+                         overlap: float = 0.25, bandwidth_id=0):
+    """Tokenize arbitrarily long audio as one batched device call.
+
+    Returns (features (N, D, T'), codes (1, N, T'), stride, orig_len) —
+    per-chunk tokens (chunk boundaries follow the fork's streaming scheme,
+    not the full-sequence padding)."""
+    sr = wt.spec.sample_rate
+    chunk_samples = int(chunk_seconds * sr)
+    chunks, stride, orig_len = chunk_audio(jnp.asarray(audio), chunk_samples,
+                                           overlap)
+    features, codes = wt.encode_infer(chunks, bandwidth_id=bandwidth_id)
+    return features, codes, stride, orig_len
+
+
+def reconstruct_long(wt, audio, chunk_seconds: float = 3.0,
+                     overlap: float = 0.25, bandwidth_id=0) -> jnp.ndarray:
+    """Long-form copy synthesis: chunk -> batch encode/decode -> cross-fade."""
+    sr = wt.spec.sample_rate
+    chunk_samples = int(chunk_seconds * sr)
+    chunks, stride, orig_len = chunk_audio(jnp.asarray(audio), chunk_samples,
+                                           overlap)
+    features, _ = wt.encode_infer(chunks, bandwidth_id=bandwidth_id)
+    decoded = wt.decode(features, bandwidth_id=bandwidth_id)  # (N, L)
+    return crossfade_join(decoded, stride, orig_len)
