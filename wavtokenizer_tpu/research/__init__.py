@@ -1,0 +1,5 @@
+from .adapter import AdapterConfig, apply_adapter, enhanced_forward, init_adapter
+from .losses import (voice_focused_loss, feature_loss, cosine_similarity_loss,
+                     hybrid_tsne_loss)
+from .byol import BYOLConfig, init_byol, byol_loss, target_update, simple_transformer
+from .enhance import EnhanceConfig, PairedAudioDataset, enhance_step, make_enhance_optimizer
