@@ -72,6 +72,12 @@ try:
         if REFERENCE_PATH not in sys.path:
             sys.path.insert(0, REFERENCE_PATH)
         import torch  # noqa: F401
+
+        # modern scipy moved signal.cosine -> signal.windows.cosine; the
+        # reference calls the old location (decoder/spectral_ops.py:95,150)
+        import scipy.signal
+        if not hasattr(scipy.signal, "cosine"):
+            scipy.signal.cosine = scipy.signal.windows.cosine
         HAVE_REFERENCE = True
 except Exception as e:  # pragma: no cover
     _err = e
