@@ -115,9 +115,33 @@ def attn_block(p: dict, x: jnp.ndarray, groups: int) -> jnp.ndarray:
     return x + out
 
 
-def convnext_block(p: dict, x: jnp.ndarray, cond_id=None) -> jnp.ndarray:
+def convnext_block(p: dict, x: jnp.ndarray, cond_id=None,
+                   fused: bool | None = None) -> jnp.ndarray:
     """ConvNeXt 1-D block (ref: decoder/modules.py:8-60): depthwise conv(k7)
-    -> (Ada)LN -> Linear -> GELU(exact) -> Linear -> layer-scale -> residual."""
+    -> (Ada)LN -> Linear -> GELU(exact) -> Linear -> layer-scale -> residual.
+
+    The Pallas kernel (fused=True) is kept as a measured alternative: on
+    v5e XLA's own LN+matmul+GELU fusion wins (25.0 ms vs 30.7 ms for the
+    12-block stack at B=128), so the default stays on the XLA path; the
+    kernel remains unit-tested for future tuning (it has no VJP; training
+    must pass fused=False)."""
+    if fused is None:
+        fused = False
+    if fused:
+        from ..ops.kernels import convnext_block_fused
+        C = x.shape[-1]
+        if "adanorm" in p:
+            scale = p["adanorm"]["scale"][cond_id]
+            shift = p["adanorm"]["shift"][cond_id]
+        else:
+            scale, shift = p["norm"]["weight"], p["norm"]["bias"]
+        gamma = p.get("gamma")
+        if gamma is None:
+            gamma = jnp.ones((C,), dtype=x.dtype)
+        return convnext_block_fused(
+            x, p["dwconv"]["kernel"][:, 0, :], p["dwconv"]["bias"],
+            scale, shift, p["pwconv1"]["weight"], p["pwconv1"]["bias"],
+            p["pwconv2"]["weight"], p["pwconv2"]["bias"], gamma)
     residual = x
     C = x.shape[-1]
     x = conv1d(x, p["dwconv"]["kernel"], p["dwconv"]["bias"],
@@ -139,7 +163,7 @@ def convnext_block(p: dict, x: jnp.ndarray, cond_id=None) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 
 def vocos_backbone(params: dict, cfg: VocosBackboneConfig, x: jnp.ndarray,
-                   bandwidth_id=None) -> jnp.ndarray:
+                   bandwidth_id=None, fused: bool | None = None) -> jnp.ndarray:
     """x: (B, T, input_channels) features -> (B, T, dim) hidden.
 
     Mirrors VocosBackbone.forward (ref: decoder/models.py:223-235):
@@ -163,7 +187,7 @@ def vocos_backbone(params: dict, cfg: VocosBackboneConfig, x: jnp.ndarray,
     else:
         x = layer_norm(x, params["norm"]["weight"], params["norm"]["bias"])
     for block in params["convnext"]:
-        x = convnext_block(block, x, cond_id=bandwidth_id)
+        x = convnext_block(block, x, cond_id=bandwidth_id, fused=fused)
     x = layer_norm(x, params["final_layer_norm"]["weight"],
                    params["final_layer_norm"]["bias"])
     return x

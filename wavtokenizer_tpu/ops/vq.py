@@ -14,11 +14,22 @@ import jax
 import jax.numpy as jnp
 
 
-def nearest_codebook_indices(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
+def nearest_codebook_indices(x: jnp.ndarray, embed: jnp.ndarray,
+                             fused: bool | None = None) -> jnp.ndarray:
     """x: (N, D) flattened vectors; embed: (C, D) codebook.  Returns (N,) int32.
 
-    Mirrors EuclideanCodebook.quantize (core_vq.py:175-183).
+    Mirrors EuclideanCodebook.quantize (core_vq.py:175-183).  On TPU the
+    fused Pallas kernel (ops.kernels.vq_nearest_fused) keeps the (N, C)
+    distance matrix in VMEM; indices carry no gradients either way, so the
+    fused path wraps its inputs in stop_gradient.
     """
+    if fused is None:
+        from .kernels import use_pallas
+        fused = use_pallas()
+    if fused:
+        from .kernels import vq_nearest_fused
+        return vq_nearest_fused(jax.lax.stop_gradient(x),
+                                jax.lax.stop_gradient(embed))
     x32 = x.astype(jnp.float32)
     e32 = embed.astype(jnp.float32)
     x_sq = jnp.sum(x32 * x32, axis=1, keepdims=True)              # (N, 1)

@@ -114,7 +114,7 @@ def generator_forward(gen: dict, vq: dict, spec: WavTokenizerSpec,
     emb = seanet_encode(enc, spec.seanet, audio[:, :, None])
     quantized, codes, commit, new_vq = vq_train_forward(vq, spec.vq, emb, key,
                                                         n_q=n_q)
-    h = vocos_backbone(gen["backbone"], spec.backbone, quantized,
+    h = vocos_backbone(gen["backbone"], spec.backbone, quantized, fused=False,
                        bandwidth_id=bandwidth_id)
     audio_hat = istft_head(gen["head"], spec.head, h)
     return audio_hat, commit, new_vq
