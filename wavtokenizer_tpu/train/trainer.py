@@ -143,13 +143,34 @@ class Trainer:
 
     # ---------------------------------------------------------------- train
 
+    def _make_train_iter(self):
+        """Native C++ threaded loader when the toolchain allows and every
+        file is a .wav (native/wt_data_loader.cc); pure-Python pipeline
+        otherwise.  Both implement the same decode/norm/resample/crop
+        contract (ref: decoder/dataset.py:44-84)."""
+        cfg = self.train_data
+        with open(cfg.filelist_path) as f:
+            files = [l for l in f.read().splitlines() if l.strip()]
+        if all(p.endswith(".wav") for p in files):
+            try:
+                from ..native import NativeDataLoader
+                loader = NativeDataLoader(
+                    files, sample_rate=cfg.sampling_rate,
+                    num_samples=cfg.num_samples, batch_size=cfg.batch_size,
+                    train=True, num_threads=max(2, cfg.num_workers),
+                    seed=self.seed)
+                self.log({"event": "native_loader", "files": len(files)})
+                return iter(loader)
+            except Exception as e:  # no g++ / build failure -> python path
+                self.log({"event": "native_loader_unavailable", "error": str(e)})
+        ds = WavDataset(cfg, train=True, seed=self.seed)
+        return data_loader(ds, cfg.batch_size, shuffle=True, seed=self.seed)
+
     def fit(self, max_batches: int | None = None, state: dict | None = None):
         spec, tcfg = self.spec, self.tcfg
         if state is None:
             state = create_train_state(spec, tcfg, seed=self.seed)
-        train_ds = WavDataset(self.train_data, train=True, seed=self.seed)
-        train_iter = data_loader(train_ds, self.train_data.batch_size,
-                                 shuffle=True, seed=self.seed)
+        train_iter = self._make_train_iter()
         val_iter = None
         if self.val_data is not None:
             val_ds = WavDataset(self.val_data, train=False, seed=self.seed)
