@@ -58,6 +58,23 @@ class WavTokenizer:
         return cls(params, spec)
 
     @classmethod
+    def from_pretrained0828(cls, config_path: str, model_path: str) -> "WavTokenizer":
+        """0828 variant: like 0802 but the checkpoint also carries the
+        MPD/MRD discriminators (ref: decoder/pretrained_model.py:52-86);
+        they are converted into ``self.discriminators`` for training use."""
+        from ..checkpoint.convert import (DISCRIMINATOR_PREFIXES,
+                                          INFERENCE_PREFIXES,
+                                          discriminator_params)
+        spec = spec_from_config(config_path)
+        sd = load_torch_state_dict(
+            model_path, prefixes=INFERENCE_PREFIXES + DISCRIMINATOR_PREFIXES)
+        params = convert_wavtokenizer_state_dict(sd, spec.seanet, spec.vq.n_q,
+                                                 spec.backbone)
+        model = cls(params, spec)
+        model.discriminators = discriminator_params(sd)
+        return model
+
+    @classmethod
     def from_pretrained0911(cls, config_path: str, model_folder_path: str) -> "WavTokenizer":
         """Average the 3 best checkpoints by val_loss parsed from the
         filename (ref: decoder/pretrained.py:117-156)."""

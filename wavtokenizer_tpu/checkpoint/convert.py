@@ -220,9 +220,14 @@ def istft_head_params(sd: dict, root: str) -> dict:
 # Full model
 # --------------------------------------------------------------------------
 
-def load_torch_state_dict(path: str) -> dict:
+INFERENCE_PREFIXES = ("backbone.", "head.", "feature_extractor.")
+DISCRIMINATOR_PREFIXES = ("multiperioddisc.", "multiresddisc.", "dac.")
+
+
+def load_torch_state_dict(path: str, prefixes=INFERENCE_PREFIXES) -> dict:
     """Load a torch/Lightning checkpoint into {key: np.ndarray}, keeping only
-    backbone./head./feature_extractor. keys (ref: decoder/pretrained.py:101-105)."""
+    the given key prefixes (ref: decoder/pretrained.py:101-105; the 0828
+    variant additionally keeps discriminators, pretrained_model.py:75-79)."""
     import torch
     try:
         raw = torch.load(path, map_location="cpu", weights_only=True)
@@ -232,9 +237,85 @@ def load_torch_state_dict(path: str) -> dict:
         raw = raw["state_dict"]
     out = {}
     for k, v in raw.items():
-        if k.startswith(("backbone.", "head.", "feature_extractor.")):
+        if k.startswith(prefixes):
             out[k] = v.detach().cpu().numpy()
     return out
+
+
+# --------------------------------------------------------------------------
+# Discriminators (for from_pretrained0828 and surgical training resume)
+# --------------------------------------------------------------------------
+
+def conv2d_wn_params(sd: dict, prefix: str) -> dict:
+    """Weight-normed Conv2d -> {'v' (Kh,Kw,I,O), 'g' (1,1,1,O), 'bias'} kept
+    UNFOLDED (the discriminators train; folding happens per-forward)."""
+    if f"{prefix}.weight_v" in sd:
+        g = _get(sd, f"{prefix}.weight_g")
+        v = _get(sd, f"{prefix}.weight_v")
+    elif f"{prefix}.parametrizations.weight.original0" in sd:
+        g = _get(sd, f"{prefix}.parametrizations.weight.original0")
+        v = _get(sd, f"{prefix}.parametrizations.weight.original1")
+    else:
+        raise MissingKey(f"{prefix}.weight_v")
+    return {"v": np.transpose(v, (2, 3, 1, 0)),
+            "g": g.reshape(1, 1, 1, -1),
+            "bias": _get(sd, f"{prefix}.bias")}
+
+
+def _disc_unit_params(sd: dict, p: str, n_convs: int) -> dict:
+    d = {"convs": [conv2d_wn_params(sd, f"{p}.convs.{j}")
+                   for j in range(n_convs)],
+         "conv_post": conv2d_wn_params(sd, f"{p}.conv_post")}
+    if f"{p}.emb.weight" in sd:
+        d["emb"] = _get(sd, f"{p}.emb.weight")
+    return d
+
+
+def discriminator_params(sd: dict, include_dac: bool = True) -> dict:
+    """Convert the Vocos MPD/MRD (+ optional DAC) discriminator weights into
+    the train.discriminators param layout (ref: decoder/discriminators.py,
+    decoder/discriminator_dac.py; Lightning attribute names multiperioddisc /
+    multiresddisc / dac per experiment.py:70-74, pretrained_model.py:49-50)."""
+    out = {
+        "mpd": [_disc_unit_params(sd, f"multiperioddisc.discriminators.{i}", 5)
+                for i in range(5)],
+        "mrd": [_disc_unit_params(sd, f"multiresddisc.discriminators.{i}", 5)
+                for i in range(3)],
+    }
+    if include_dac and any(k.startswith("dac.") for k in sd):
+        # DAC Discriminator list = 5 MPDs (periods 2,3,5,7,11) then 3 MRDs;
+        # DAC wraps each conv in a Sequential, hence the extra ".0" segment
+        # (discriminator_dac.py WNConv2d(act=True)) — except conv_post.
+        out["dac_mpd"] = []
+        for i in range(5):
+            p = f"dac.discriminators.{i}"
+            out["dac_mpd"].append({
+                "convs": [conv2d_wn_params(sd, f"{p}.convs.{j}.0")
+                          for j in range(5)],
+                "conv_post": conv2d_wn_params(sd, f"{p}.conv_post")})
+        dac_mrd = []
+        for i in range(5, 8):
+            p = f"dac.discriminators.{i}"
+            bands = [[conv2d_wn_params(sd, f"{p}.band_convs.{b}.{j}.0")
+                      for j in range(5)] for b in range(5)]
+            dac_mrd.append({"bands": bands,
+                            "conv_post": conv2d_wn_params(sd, f"{p}.conv_post")})
+        out["dac_mrd"] = dac_mrd
+    return out
+
+
+def surgical_resume_params(sd: dict, seanet_cfg: SEANetConfig, vq_n_q: int,
+                           backbone_cfg: VocosBackboneConfig,
+                           keep_quantizer_layers: int = 8) -> dict:
+    """Per-submodule checkpoint surgery for training resume
+    (ref: decoder/experiment.py:398-445): reload encoder / decoder /
+    quantizer (layers < keep_quantizer_layers only) / backbone / head, plus
+    discriminators when the checkpoint carries them."""
+    params = convert_wavtokenizer_state_dict(
+        sd, seanet_cfg, min(vq_n_q, keep_quantizer_layers), backbone_cfg)
+    if any(k.startswith("multiperioddisc.") for k in sd):
+        params["discriminators"] = discriminator_params(sd)
+    return params
 
 
 def average_state_dicts(sds: list[dict]) -> dict:

@@ -204,6 +204,8 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
                                                state["gen"])
     gen = optax.apply_updates(state["gen"], g_updates)
     metrics.update(g_metrics)
+    # Global generator grad norm (GradNormCallback parity, helpers.py:49-55).
+    metrics["grad_norm"] = optax.global_norm(g_grads)
 
     new_state = {
         "gen": gen,

@@ -179,15 +179,21 @@ class Trainer:
 
         total = max_batches if max_batches is not None else tcfg.max_steps // 2
         key = jax.random.PRNGKey(self.seed)
+        nq_rng = np.random.default_rng(self.seed + 1)
         t_last = time.time()
         for step in range(int(state["step"]), total):
             batch = next(train_iter)
             key, sub = jax.random.split(key)
             train_disc = step >= tcfg.pretrain_mel_steps
             mel_coeff = mel_coeff_decay(tcfg, step + 1)
+            # Multi-quantizer configs randomize n_q over [4, 6, 8] per step
+            # (ref: vq.py:103-108); a no-op for the shipped n_q=1 models.
+            n_q = (min(int(nq_rng.choice([4, 6, 8])), spec.vq.n_q)
+                   if spec.vq.n_q > 1 else 1)
             state, metrics = train_step(state, jnp.asarray(batch), sub, spec,
                                         tcfg, mel_coeff=mel_coeff,
-                                        train_discriminator=train_disc)
+                                        train_discriminator=train_disc,
+                                        n_q=n_q)
             if step % self.log_every == 0:
                 rec = {"step": step,
                        **{k: float(v) for k, v in metrics.items()},
