@@ -145,3 +145,74 @@ class WavTokenizer:
         return fn(self.params, audio, bw)
 
     forward = __call__
+
+
+class Vocos:
+    """Plain-Vocos facade (mel features -> trunk -> head): the upstream
+    Vocos mode the reference carries alongside WavTokenizer
+    (MelSpectrogramFeatures + VocosBackbone/VocosResNetBackbone +
+    ISTFT/IMDCT heads)."""
+
+    def __init__(self, params: dict, spec):
+        self.params = jax.device_put(params)
+        self.spec = spec
+        self._jit_cache: dict = {}
+
+    @classmethod
+    def from_hparams(cls, config_path: str) -> "Vocos":
+        """Spec-only construction (random params elsewhere); mirrors the
+        upstream from_hparams config parsing."""
+        import yaml
+
+        from .config import vocos_spec_from_config_dict
+        with open(config_path) as f:
+            spec = vocos_spec_from_config_dict(yaml.safe_load(f))
+        return cls({}, spec)
+
+    @classmethod
+    def from_pretrained(cls, config_path: str, model_path: str) -> "Vocos":
+        import yaml
+
+        from ..checkpoint.convert import (convert_vocos_state_dict,
+                                          load_torch_state_dict)
+        from .config import vocos_spec_from_config_dict
+        with open(config_path) as f:
+            spec = vocos_spec_from_config_dict(yaml.safe_load(f))
+        sd = load_torch_state_dict(model_path)
+        return cls(convert_vocos_state_dict(sd, spec), spec)
+
+    @classmethod
+    def from_state_dict(cls, state_dict: dict, spec) -> "Vocos":
+        from ..checkpoint.convert import convert_vocos_state_dict
+        return cls(convert_vocos_state_dict(state_dict, spec), spec)
+
+    def _jitted(self, name: str, fn):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(partial(fn, spec=self.spec))
+        return self._jit_cache[name]
+
+    def feature_extractor(self, audio_input):
+        from ..models import vocos_model as vm
+        audio = jnp.atleast_2d(jnp.asarray(audio_input))
+        fn = self._jitted("features",
+                          lambda params, audio, spec: vm.vocos_features(
+                              params, spec, audio))
+        return fn(self.params, audio)
+
+    def decode(self, features_input, bandwidth_id=None):
+        from ..models import vocos_model as vm
+        features = jnp.asarray(features_input)
+        fn = self._jitted("decode",
+                          lambda params, features, spec: vm.vocos_decode(
+                              params, spec, features, bandwidth_id=None))
+        return fn(self.params, features)
+
+    def __call__(self, audio_input, bandwidth_id=None):
+        from ..models import vocos_model as vm
+        audio = jnp.atleast_2d(jnp.asarray(audio_input))
+        fn = self._jitted("forward",
+                          lambda params, audio, spec: vm.vocos_forward(
+                              params, spec, audio))
+        return fn(self.params, audio)
+
+    forward = __call__

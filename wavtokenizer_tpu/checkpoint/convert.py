@@ -220,6 +220,39 @@ def istft_head_params(sd: dict, root: str) -> dict:
 # Full model
 # --------------------------------------------------------------------------
 
+def resnet_backbone_params(sd: dict, root: str, num_blocks: int = 3) -> dict:
+    """VocosResNetBackbone (ref: decoder/models.py:238-264): weight-normed
+    embed conv k3 + num_blocks x ResBlock1 (convs1/convs2 x3 + gamma)."""
+    blocks = []
+    for i in range(num_blocks):
+        p = f"{root}resnet.{i}"
+        blocks.append({
+            "convs1": [conv1d_params(sd, f"{p}.convs1.{j}") for j in range(3)],
+            "convs2": [conv1d_params(sd, f"{p}.convs2.{j}") for j in range(3)],
+            "gamma": [_get(sd, f"{p}.gamma.{j}")[:, 0] for j in range(3)],
+        })
+    return {"embed": conv1d_params(sd, f"{root}embed"), "resnet": blocks}
+
+
+def imdct_head_params(sd: dict, root: str) -> dict:
+    """IMDCTSymExpHead / IMDCTCosHead linear (ref: decoder/heads.py:70-157)."""
+    return {"out": linear_params(sd, f"{root}out")}
+
+
+def convert_vocos_state_dict(sd: dict, spec) -> dict:
+    """state_dict -> params for the plain-Vocos family (VocosSpec)."""
+    if spec.backbone_kind == "convnext":
+        backbone = vocos_backbone_params(sd, "backbone.", spec.backbone)
+    else:
+        backbone = resnet_backbone_params(sd, "backbone.",
+                                          spec.backbone.num_blocks)
+    if spec.head_kind == "istft":
+        head = istft_head_params(sd, "head.")
+    else:
+        head = imdct_head_params(sd, "head.")
+    return {"backbone": backbone, "head": head}
+
+
 INFERENCE_PREFIXES = ("backbone.", "head.", "feature_extractor.")
 DISCRIMINATOR_PREFIXES = ("multiperioddisc.", "multiresddisc.", "dac.")
 
