@@ -126,6 +126,28 @@ def imdct_cos_head(params: dict, cfg: IMDCTHeadConfig,
     return audio
 
 
+def conv_layer_norm(x: jnp.ndarray, weight: jnp.ndarray | None = None,
+                    bias: jnp.ndarray | None = None,
+                    eps: float = 1e-5) -> jnp.ndarray:
+    """Channel-last LayerNorm for conv activations.
+
+    Parity component for the reference's ConvLayerNorm
+    (encoder/modules/norm.py:16-28), whose forward has a latent bug
+    (missing ``return``, so it yields None) and is unused by shipped
+    configs.  Our activations are already channel-last, so this is a plain
+    last-axis LayerNorm — implemented correctly rather than replicating the
+    bug.
+    """
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    if weight is not None:
+        y = y * weight
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 def mel_scaled_head_init_scale(sample_rate: int, out_dim: int) -> np.ndarray:
     """Perceptual init scaling for IMDCTSymExpHead (ref: heads.py:92-100)."""
     m_max = 2595.0 * np.log10(1.0 + (sample_rate // 2) / 700.0)
