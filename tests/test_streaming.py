@@ -1,0 +1,78 @@
+"""Chunked long-form streaming: chunking, cross-fade join, end-to-end."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from wavtokenizer_tpu import (ISTFTHeadConfig, SEANetConfig, VQConfig,
+                              VocosBackboneConfig, WavTokenizerSpec)
+from wavtokenizer_tpu.api.streaming import (chunk_audio, crossfade_join,
+                                            encode_infer_chunked,
+                                            reconstruct_long)
+
+
+def test_chunk_audio_shapes(rng):
+    audio = jnp.asarray(rng.normal(size=(100_000,)).astype(np.float32))
+    chunks, stride, orig = chunk_audio(audio, 72000, overlap=0.25)
+    assert orig == 100_000
+    assert stride == 54000
+    assert chunks.shape[1] == 72000
+    # enough chunks to cover the signal
+    assert (chunks.shape[0] - 1) * stride + 72000 >= orig
+    # first chunk is the signal head
+    np.testing.assert_array_equal(np.asarray(chunks[0]),
+                                  np.asarray(audio[:72000]))
+
+
+def test_chunk_then_crossfade_is_identity(rng):
+    """Chunks of the same signal cross-faded back == the signal (the fade
+    weights normalize out), including the zero-padded tail trim."""
+    audio = jnp.asarray(rng.normal(size=(50_000,)).astype(np.float32))
+    chunks, stride, orig = chunk_audio(audio, 12_000, overlap=0.25)
+    joined = crossfade_join(chunks, stride, orig)
+    np.testing.assert_allclose(np.asarray(joined), np.asarray(audio),
+                               atol=1e-5)
+
+
+def test_chunk_audio_short_signal(rng):
+    audio = jnp.asarray(rng.normal(size=(5_000,)).astype(np.float32))
+    chunks, stride, orig = chunk_audio(audio, 12_000, overlap=0.25)
+    assert chunks.shape == (1, 12_000) and orig == 5_000
+    joined = crossfade_join(chunks, stride, orig)
+    np.testing.assert_allclose(np.asarray(joined), np.asarray(audio),
+                               atol=1e-6)
+
+
+def _tiny_wt():
+    from wavtokenizer_tpu.api.pretrained import WavTokenizer
+    from wavtokenizer_tpu.models.init import init_wavtokenizer
+    spec = WavTokenizerSpec(
+        seanet=SEANetConfig(dimension=16, n_filters=2, ratios=(8, 5, 4, 2)),
+        vq=VQConfig(dimension=16, bins=32),
+        backbone=VocosBackboneConfig(input_channels=16, dim=32,
+                                     intermediate_dim=64, num_layers=1,
+                                     adanorm_num_embeddings=4),
+        head=ISTFTHeadConfig(dim=32, n_fft=1280, hop_length=320),
+    )
+    params = init_wavtokenizer(spec, seed=0, random_codebook=True)
+    return WavTokenizer(params, spec)
+
+
+def test_reconstruct_long_end_to_end(rng):
+    wt = _tiny_wt()
+    audio = rng.normal(size=(int(24000 * 4.5),)).astype(np.float32) * 0.1
+    out = np.asarray(reconstruct_long(wt, audio, chunk_seconds=2.0))
+    assert out.shape == audio.shape
+    assert np.isfinite(out).all()
+
+
+def test_encode_infer_chunked_layout(rng):
+    wt = _tiny_wt()
+    audio = rng.normal(size=(int(24000 * 4.5),)).astype(np.float32) * 0.1
+    feats, codes, stride, orig = encode_infer_chunked(wt, audio,
+                                                      chunk_seconds=2.0)
+    n_chunks = feats.shape[0]
+    assert codes.shape[:2] == (1, n_chunks)
+    assert stride == int(0.75 * 2.0 * 24000)
+    assert orig == len(audio)
+    # 2 s chunks at hop 320 -> 150 frames
+    assert feats.shape[2] == codes.shape[2] == 150

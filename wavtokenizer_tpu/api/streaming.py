@@ -41,19 +41,27 @@ def chunk_audio(audio: jnp.ndarray, chunk_samples: int,
 
 def crossfade_join(chunks: jnp.ndarray, stride: int, orig_len: int) -> jnp.ndarray:
     """Weighted overlap-add with linear fade-in/out over the overlap region
-    (ref: tsne_inf.py:95-123).  chunks: (N, L) -> (orig_len,)."""
+    (ref: tsne_inf.py:95-123: fade-in skipped on the first chunk, fade-out
+    skipped on the last, so sequence edges pass through unscaled).
+    chunks: (N, L) -> (orig_len,)."""
     N, L = chunks.shape
     overlap = L - stride
-    weight = np.ones(L, np.float32)
-    if overlap > 0:
-        ramp = np.linspace(0.0, 1.0, overlap, dtype=np.float32)
-        weight[:overlap] = ramp
-        weight[-overlap:] = ramp[::-1]
-    w = jnp.asarray(weight)
+    ramp = np.linspace(0.0, 1.0, max(overlap, 1), dtype=np.float32)
+
+    def weight(i: int) -> np.ndarray:
+        w = np.ones(L, np.float32)
+        if overlap > 0:
+            if i > 0:
+                w[:overlap] = ramp
+            if i < N - 1:
+                w[-overlap:] = ramp[::-1]
+        return w
+
     total = (N - 1) * stride + L
     out = jnp.zeros(total, jnp.float32)
     den = jnp.zeros(total, jnp.float32)
     for i in range(N):  # static loop; XLA fuses into strided adds
+        w = jnp.asarray(weight(i))
         out = out.at[i * stride:i * stride + L].add(chunks[i] * w)
         den = den.at[i * stride:i * stride + L].add(w)
     return (out / jnp.maximum(den, 1e-8))[:orig_len]
