@@ -8,9 +8,11 @@ GAN training stack and research extensions of the reference
 
 __version__ = "0.1.0"
 
-from .api.pretrained import WavTokenizer
-from .api.config import spec_from_config, spec_from_config_dict
+from .api.pretrained import Vocos, WavTokenizer
+from .api.config import (spec_from_config, spec_from_config_dict,
+                         vocos_spec_from_config_dict)
 from .models.wavtokenizer import WavTokenizerSpec
+from .models.vocos_model import VocosSpec
 from .models.seanet import SEANetConfig
 from .models.quantize import VQConfig
 from .models.vocos import ISTFTHeadConfig, VocosBackboneConfig

@@ -102,6 +102,8 @@ class Trainer:
         os.makedirs(out_dir, exist_ok=True)
         self._metrics_f = open(os.path.join(out_dir, "metrics.jsonl"), "a")
         self._topk: list[tuple[float, str]] = []
+        from .helpers import TBLogger
+        self.tb = TBLogger(os.path.join(out_dir, "tb"))
 
     def log(self, record: dict) -> None:
         self._metrics_f.write(json.dumps(record) + "\n")
@@ -126,8 +128,17 @@ class Trainer:
                 jnp.zeros((), jnp.int32), key, n_q=1)
             m = mel_loss(audio_hat, audio, self.spec.sample_rate)
             losses.append(float(m) + 5.0 + 5.0 + 1000.0 * float(commit))
+            if i == 0:
+                # Audio + mel-spectrogram snapshots (ref: experiment.py:272-294)
+                sr = self.spec.sample_rate
+                self.tb.audio_and_spectrogram(
+                    "val/reconstructed", np.asarray(audio_hat[0]), sr, step)
+                self.tb.audio_and_spectrogram(
+                    "val/original", np.asarray(audio[0]), sr, step)
         val_loss = float(np.mean(losses)) if losses else float("inf")
         self.log({"step": step, "val_loss": val_loss})
+        self.tb.scalars({"val_loss": val_loss}, step)
+        self.tb.flush()
         return val_loss
 
     def _save_topk(self, state: dict, step: int, val_loss: float) -> None:
@@ -200,6 +211,8 @@ class Trainer:
                        "sec_per_step": (time.time() - t_last) / max(1, self.log_every)}
                 t_last = time.time()
                 self.log(rec)
+                self.tb.scalars({k: v for k, v in rec.items() if k != "step"},
+                                step)
             if val_iter is not None and step > 0 and step % self.val_every == 0:
                 val_loss = self.validate(state, val_iter, step)
                 self._save_topk(state, step, val_loss)
