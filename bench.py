@@ -78,6 +78,40 @@ def bench_headline():
                             "encode_decode_realtime_factor")
 
 
+def bench_detokenize():
+    """BASELINE config #2's second path: codes -> codes_to_features ->
+    decode (pure detokenization, the audio-LM serving path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavtokenizer_tpu import WavTokenizerSpec
+    from wavtokenizer_tpu.models import wavtokenizer as wt
+    from wavtokenizer_tpu.models.init import init_wavtokenizer
+
+    spec = WavTokenizerSpec()
+    params = jax.device_put(init_wavtokenizer(spec, random_codebook=True))
+    B, SECONDS = int(os.environ.get("BENCH_BATCH", 128)), 3.0
+    Tp = int(spec.frame_rate * SECONDS)
+    rng = np.random.default_rng(0)
+    codes = [jax.device_put(jnp.asarray(
+        rng.integers(0, spec.vq.bins, size=(1, B, Tp)).astype(np.int32)))
+        for _ in range(3)]
+
+    @jax.jit
+    def detok(params, c, prev):
+        c = c + (prev[:1, :1].astype(jnp.int32) * 0)[0, 0]
+        feats = wt.codes_to_features(params, c)
+        return wt.decode(params, spec, feats, 0)
+
+    wav = detok(params, codes[0], jnp.zeros((1, 1), jnp.float32))
+    np.asarray(wav[:1])
+    per_iter = _chain_time(lambda p, c, w: (detok(p, c, w),) * 2,
+                           params, codes, wav)
+    rtf = B * SECONDS / per_iter
+    return {"metric": "detokenize_rtf", "value": round(rtf, 1),
+            "unit": "audio_sec/sec/chip", "vs_baseline": round(rtf / 1000.0, 4)}
+
+
 def bench_small600_single():
     from wavtokenizer_tpu import (ISTFTHeadConfig, SEANetConfig,
                                   WavTokenizerSpec)
@@ -175,7 +209,7 @@ def main():
     print(json.dumps(headline))
     if "--all" in sys.argv:
         results = [headline]
-        for fn in (bench_small600_single, bench_music16k,
+        for fn in (bench_detokenize, bench_small600_single, bench_music16k,
                    bench_longform_60s, bench_bulk_extract):
             r = fn()
             results.append(r)
