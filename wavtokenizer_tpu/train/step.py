@@ -161,11 +161,13 @@ def _gen_loss_fn(gen, disc, vq, spec, audio, bandwidth_id, key, n_q,
     return loss, (metrics, new_vq, audio_hat)
 
 
-@partial(jax.jit, static_argnames=("spec", "tcfg", "train_discriminator", "n_q"),
+@partial(jax.jit, static_argnames=("spec", "tcfg", "train_discriminator", "n_q",
+                                   "with_grad_norm"),
          donate_argnames=("state",))
 def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
                tcfg: TrainConfig, mel_coeff: float | jnp.ndarray = 45.0,
-               train_discriminator: bool = True, n_q: int = 1):
+               train_discriminator: bool = True, n_q: int = 1,
+               with_grad_norm: bool = False):
     """One full batch = disc update then gen update (Lightning order).
 
     audio: (B, T) 24 kHz crops.  Returns (new_state, metrics dict).
@@ -204,8 +206,13 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
                                                state["gen"])
     gen = optax.apply_updates(state["gen"], g_updates)
     metrics.update(g_metrics)
-    # Global generator grad norm (GradNormCallback parity, helpers.py:49-55).
-    metrics["grad_norm"] = optax.global_norm(g_grads)
+    if with_grad_norm:
+        # Global generator grad norm (GradNormCallback parity,
+        # helpers.py:49-55).  Static opt-in: the extra cross-shard norm
+        # reduction deadlocks XLA:CPU's in-process collectives on the
+        # virtual mesh, so the multichip dryrun leaves it off; the trainer
+        # enables it on logging steps.
+        metrics["grad_norm"] = optax.global_norm(g_grads)
 
     new_state = {
         "gen": gen,

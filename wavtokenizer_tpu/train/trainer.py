@@ -204,7 +204,9 @@ class Trainer:
             state, metrics = train_step(state, jnp.asarray(batch), sub, spec,
                                         tcfg, mel_coeff=mel_coeff,
                                         train_discriminator=train_disc,
-                                        n_q=n_q)
+                                        n_q=n_q,
+                                        with_grad_norm=(step % self.log_every
+                                                        == 0))
             if step % self.log_every == 0:
                 rec = {"step": step,
                        **{k: float(v) for k, v in metrics.items()},
