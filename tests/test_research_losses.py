@@ -75,3 +75,60 @@ def test_feature_loss_parity(rng):
     got = float(feature_loss(jnp.asarray(enh.transpose(0, 2, 1)),
                              jnp.asarray(tgt.transpose(0, 2, 1))))
     np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+@needs_ref
+def test_adapter_forward_parity(rng):
+    """Our adapter vs try3's adapter stack (conv->BN->ReLU->ResBlocks->
+    conv->ReLU) with identical weights, eval mode (running BN stats)."""
+    import torch
+    import torch.nn as nn
+    try3 = _import_try3()
+
+    from wavtokenizer_tpu.research.adapter import (AdapterConfig, apply_adapter,
+                                                   init_adapter)
+
+    H, D = 16, 32
+    cfg = AdapterConfig(encoder_dim=D, hidden=H, num_residual_blocks=2)
+    torch.manual_seed(3)
+    conv_in = nn.Conv1d(D, H, 1)
+    bn_in = nn.BatchNorm1d(H)
+    blocks = nn.Sequential(try3.ResidualBlock(H), try3.ResidualBlock(H))
+    conv_out = nn.Conv1d(H, D, 1)
+    # randomize BN running stats so eval mode is a real test
+    for m in [bn_in, blocks[0].bn1, blocks[0].bn2, blocks[1].bn1, blocks[1].bn2]:
+        m.running_mean.data.normal_(0, 0.3)
+        m.running_var.data.uniform_(0.5, 1.5)
+    for m in (conv_in, bn_in, blocks, conv_out):
+        m.eval()
+
+    def cv(c):
+        return {"kernel": c.weight.detach().numpy().transpose(2, 1, 0),
+                "bias": c.bias.detach().numpy()}
+
+    def bnp(b):
+        return {"weight": b.weight.detach().numpy(),
+                "bias": b.bias.detach().numpy()}
+
+    def bns(b):
+        return {"mean": b.running_mean.numpy(), "var": b.running_var.numpy()}
+
+    params = {"adapter_conv": cv(conv_in), "adapter_bn": bnp(bn_in),
+              "blocks": [{"conv1": cv(bl.conv1), "bn1": bnp(bl.bn1),
+                          "conv2": cv(bl.conv2), "bn2": bnp(bl.bn2)}
+                         for bl in blocks],
+              "out_conv": cv(conv_out)}
+    state = {"adapter_bn": bns(bn_in),
+             "blocks": [{"bn1": bns(bl.bn1), "bn2": bns(bl.bn2)}
+                        for bl in blocks]}
+
+    x = rng.normal(size=(2, D, 40)).astype(np.float32)  # (B, D, T) torch
+    with torch.no_grad():
+        h = torch.relu(bn_in(conv_in(torch.from_numpy(x))))
+        h = blocks(h)
+        ref = torch.relu(conv_out(h)).numpy()
+    got, _ = apply_adapter(params, state,
+                           jnp.asarray(x.transpose(0, 2, 1)), train=False,
+                           cfg=cfg)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), ref,
+                               atol=1e-5, rtol=1e-4)
