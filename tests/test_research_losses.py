@@ -132,3 +132,50 @@ def test_adapter_forward_parity(rng):
                            cfg=cfg)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), ref,
                                atol=1e-5, rtol=1e-4)
+
+
+@needs_ref
+def test_byol_simple_transformer_parity(rng):
+    """Our BYOL SimpleTransformer vs the fork's (tr_byol.py:12-29) with
+    converted torch weights (post-LN TransformerEncoder, mean pool, fc)."""
+    import torch
+    import tr_byol
+
+    from wavtokenizer_tpu.research.byol import BYOLConfig, simple_transformer
+
+    D_IN, D, HEADS, LAYERS = 24, 32, 4, 2
+    torch.manual_seed(7)
+    ref_m = tr_byol.SimpleTransformer(D_IN, D, 128, HEADS, LAYERS).eval()
+
+    def lin(w, b):
+        return {"weight": w.detach().numpy().T, "bias": b.detach().numpy()}
+
+    layers = []
+    for tl in ref_m.transformer.layers:
+        in_w = tl.self_attn.in_proj_weight.detach().numpy()
+        in_b = tl.self_attn.in_proj_bias.detach().numpy()
+        qw, kw, vw = np.split(in_w, 3, axis=0)
+        qb, kb, vb = np.split(in_b, 3)
+        layers.append({
+            "q": {"weight": qw.T, "bias": qb},
+            "k": {"weight": kw.T, "bias": kb},
+            "v": {"weight": vw.T, "bias": vb},
+            "o": lin(tl.self_attn.out_proj.weight, tl.self_attn.out_proj.bias),
+            "ln1": {"weight": tl.norm1.weight.detach().numpy(),
+                    "bias": tl.norm1.bias.detach().numpy()},
+            "ln2": {"weight": tl.norm2.weight.detach().numpy(),
+                    "bias": tl.norm2.bias.detach().numpy()},
+            "ff1": lin(tl.linear1.weight, tl.linear1.bias),
+            "ff2": lin(tl.linear2.weight, tl.linear2.bias),
+        })
+    params = {"embedding": lin(ref_m.embedding.weight, ref_m.embedding.bias),
+              "layers": layers,
+              "fc": lin(ref_m.fc.weight, ref_m.fc.bias)}
+    cfg = BYOLConfig(input_dim=D_IN, hidden_dim=D, num_heads=HEADS,
+                     num_layers=LAYERS, ff_dim=2048)
+
+    x = rng.normal(size=(3, 10, D_IN)).astype(np.float32)
+    with torch.no_grad():
+        ref = ref_m(torch.from_numpy(x)).numpy()
+    got = np.asarray(simple_transformer(params, jnp.asarray(x), cfg))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
