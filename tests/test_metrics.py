@@ -1,0 +1,69 @@
+"""Objective metric suite sanity + behavioral tests (metrics/)."""
+
+import numpy as np
+import pytest
+
+from wavtokenizer_tpu.metrics.objective import (envelope_similarity,
+                                                mel_spectral_distance, snr_db,
+                                                stoi)
+from wavtokenizer_tpu.metrics.periodicity import (calculate_periodicity_metrics,
+                                                  nac_pitch)
+
+
+def _speechish(sr, seconds, f0, seed=0):
+    """Harmonic tone with amplitude modulation (voiced-speech stand-in)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    sig = sum((0.5 / (k * k)) * np.sin(2 * np.pi * f0 * k * t)
+              for k in range(1, 6))
+    env = 0.6 + 0.4 * np.sin(2 * np.pi * 3.0 * t)
+    return (sig * env + rng.normal(size=t.size) * 0.005).astype(np.float32)
+
+
+def test_stoi_identity_and_noise():
+    sr = 16000
+    x = _speechish(sr, 2.0, 150.0)
+    assert stoi(x, x, sr) > 0.95
+    noisy = x + np.random.default_rng(1).normal(size=x.size).astype(np.float32)
+    assert stoi(x, noisy, sr) < stoi(x, x, sr)
+
+
+def test_snr_and_envelope():
+    x = _speechish(24000, 1.0, 200.0)
+    assert snr_db(x, x) > 80
+    assert abs(envelope_similarity(x, x) - 1.0) < 1e-5
+    assert snr_db(x, x + 0.1 * np.std(x)) < 25
+
+
+def test_mel_spectral_distance_orders_degradation():
+    sr = 24000
+    x = _speechish(sr, 1.0, 200.0)
+    mild = x + np.random.default_rng(2).normal(size=x.size).astype(np.float32) * 0.01
+    harsh = x + np.random.default_rng(3).normal(size=x.size).astype(np.float32) * 0.2
+    d0 = mel_spectral_distance(x, x, sr)
+    d1 = mel_spectral_distance(x, mild, sr)
+    d2 = mel_spectral_distance(x, harsh, sr)
+    assert d0 < d1 < d2
+
+
+def test_nac_pitch_tracks_f0():
+    sr = 16000
+    for f0 in (120.0, 220.0):
+        x = _speechish(sr, 1.0, f0)
+        pitch, period = nac_pitch(x, sr)
+        voiced = period > 0.5
+        assert voiced.mean() > 0.5
+        med = np.median(pitch[voiced])
+        assert abs(med - f0) / f0 < 0.1, (f0, med)
+
+
+def test_periodicity_metrics_self_and_shifted():
+    sr = 16000
+    x = _speechish(sr, 2.0, 180.0)
+    per_rmse, pitch_rmse, f1 = calculate_periodicity_metrics(x, x, sr)
+    assert per_rmse < 0.05 and f1 > 0.95
+    assert pitch_rmse < 20  # cents, self-comparison
+    # different pitch -> large cents error, f1 still high (both voiced)
+    y = _speechish(sr, 2.0, 250.0)
+    _, pitch_rmse2, _ = calculate_periodicity_metrics(x, y, sr)
+    assert pitch_rmse2 > 100
