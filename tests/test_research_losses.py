@@ -17,9 +17,14 @@ needs_ref = pytest.mark.skipif(not R.HAVE_REFERENCE,
 def _import_try3():
     """Import the reference try3 module with its heavy/unavailable deps
     stubbed (librosa isn't in the image; only the loss functions are used)."""
+    import importlib.machinery
     for name in ("librosa", "librosa.display"):
         if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
+            mod = types.ModuleType(name)
+            # a real ModuleSpec so importlib.util.find_spec (used by e.g.
+            # transformers' availability probes) doesn't choke on the stub
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+            sys.modules[name] = mod
     import try3
     return try3
 
