@@ -37,7 +37,10 @@ def main(argv=None):
     from wavtokenizer_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    wt = WavTokenizer.from_pretrained0802(args.config, args.ckpt)
+    if os.path.isdir(args.ckpt):   # orbax training checkpoint dir
+        wt = WavTokenizer.from_train_checkpoint(args.config, args.ckpt)
+    else:                          # torch/Lightning .ckpt
+        wt = WavTokenizer.from_pretrained0802(args.config, args.ckpt)
     sr = wt.spec.sample_rate
     os.makedirs(args.out_dir, exist_ok=True)
 

@@ -58,6 +58,20 @@ class WavTokenizer:
         return cls(params, spec)
 
     @classmethod
+    def from_train_checkpoint(cls, config_path: str, ckpt_dir: str) -> "WavTokenizer":
+        """Load one of OUR orbax training checkpoints (Trainer output dirs:
+        last/, wavtokenizer_checkpoint_step=...) for inference: weight norm
+        folded, VQ/backbone/head assembled into the inference pytree."""
+        from ..train.step import (TrainConfig, create_train_state,
+                                  state_to_inference_params)
+        from ..train.trainer import load_checkpoint
+        spec = spec_from_config(config_path)
+        template = create_train_state(spec, TrainConfig(
+            num_bandwidths=len(spec.bandwidths)), seed=0)
+        state = load_checkpoint(ckpt_dir, jax.device_get(template))
+        return cls(state_to_inference_params(state, spec), spec)
+
+    @classmethod
     def from_pretrained0828(cls, config_path: str, model_path: str) -> "WavTokenizer":
         """0828 variant: like 0802 but the checkpoint also carries the
         MPD/MRD discriminators (ref: decoder/pretrained_model.py:52-86);
