@@ -205,3 +205,42 @@ def test_weight_norm_fold_roundtrip():
     p = weight_norm_conv({"kernel": kernel, "bias": np.zeros(8, np.float32)})
     folded = fold_tree({"c": p})["c"]
     np.testing.assert_allclose(np.asarray(folded["kernel"]), kernel, atol=1e-5)
+
+
+def test_train_checkpoint_to_inference_roundtrip(tmp_path):
+    """Trainer orbax checkpoint -> from_train_checkpoint-style assembly:
+    save/load roundtrip preserves the state and the assembled inference
+    params run the full pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavtokenizer_tpu import (ISTFTHeadConfig, SEANetConfig, VQConfig,
+                                  VocosBackboneConfig, WavTokenizerSpec)
+    from wavtokenizer_tpu.models import wavtokenizer as wt
+    from wavtokenizer_tpu.train.step import (TrainConfig, create_train_state,
+                                             state_to_inference_params)
+    from wavtokenizer_tpu.train.trainer import load_checkpoint, save_checkpoint
+
+    spec = WavTokenizerSpec(
+        seanet=SEANetConfig(dimension=16, n_filters=2, ratios=(8, 5, 4, 2)),
+        vq=VQConfig(dimension=16, bins=32),
+        backbone=VocosBackboneConfig(input_channels=16, dim=32,
+                                     intermediate_dim=64, num_layers=1,
+                                     adanorm_num_embeddings=4),
+        head=ISTFTHeadConfig(dim=32, n_fft=1280, hop_length=320),
+    )
+    state = create_train_state(spec, TrainConfig(), seed=0)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    restored = load_checkpoint(path, jax.device_get(state))
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    params = state_to_inference_params(restored, spec)
+    audio = jnp.asarray(np.random.default_rng(0)
+                        .normal(size=(1, 24000)).astype(np.float32) * 0.1)
+    feats, codes = wt.encode_infer(params, spec, audio)
+    wav = wt.decode(params, spec, feats, 0)
+    assert codes.shape == (1, 1, 75) and wav.shape == (1, 24000)
+    assert np.isfinite(np.asarray(wav)).all()
