@@ -52,8 +52,48 @@ def _install_torchaudio_stub():
         def __init__(self, *a, **k):
             raise RuntimeError("torchaudio stub: not available in tests")
 
+    class _Spectrogram(torch.nn.Module):
+        """Faithful torchaudio.transforms.Spectrogram for the arg subset the
+        reference uses (msstftd.py:63-65: power=None complex STFT,
+        normalized=True -> divide by sqrt(sum(win^2)), center=False)."""
+
+        def __init__(self, n_fft=400, win_length=None, hop_length=None,
+                     pad=0, window_fn=torch.hann_window, power=2.0,
+                     normalized=False, wkwargs=None, center=True,
+                     pad_mode="reflect", onesided=True):
+            super().__init__()
+            self.n_fft = n_fft
+            self.win_length = win_length if win_length is not None else n_fft
+            self.hop_length = hop_length if hop_length is not None else self.win_length // 2
+            self.pad = pad
+            self.power = power
+            self.normalized = normalized
+            self.center = center
+            self.pad_mode = pad_mode
+            self.onesided = onesided
+            self.register_buffer("window", window_fn(self.win_length))
+
+        def forward(self, waveform):
+            shape = waveform.size()
+            waveform = waveform.reshape(-1, shape[-1])
+            if self.pad > 0:
+                waveform = torch.nn.functional.pad(
+                    waveform, (self.pad, self.pad), "constant")
+            spec = torch.stft(
+                waveform, self.n_fft, self.hop_length, self.win_length,
+                self.window, center=self.center,
+                pad_mode=self.pad_mode or "reflect", normalized=False,
+                onesided=self.onesided, return_complex=True)
+            if self.normalized:
+                spec = spec / self.window.pow(2.0).sum().sqrt()
+            spec = spec.reshape(shape[:-1] + spec.shape[-2:])
+            if self.power is None:
+                return spec
+            return spec.abs().pow(self.power)
+
     transforms.Resample = _Unavailable
     transforms.MelSpectrogram = _Unavailable
+    transforms.Spectrogram = _Spectrogram
 
     ta.functional = functional
     ta.transforms = transforms

@@ -244,3 +244,57 @@ def test_train_checkpoint_to_inference_roundtrip(tmp_path):
     wav = wt.decode(params, spec, feats, 0)
     assert codes.shape == (1, 1, 75) and wav.shape == (1, 24000)
     assert np.isfinite(np.asarray(wav)).all()
+
+
+@needs_ref
+def test_msstft_discriminator_parity():
+    """Our MS-STFT discriminator vs the reference MultiScaleSTFTDiscriminator
+    (encoder/msstftd.py; Spectrogram rebuilt in the torchaudio stub)."""
+    import torch
+    from encoder.msstftd import MultiScaleSTFTDiscriminator
+
+    R.seed_all(31)
+    m = MultiScaleSTFTDiscriminator(filters=32)
+    m.eval()
+    x = torch.randn(2, 1, 24000)
+    with torch.no_grad():
+        logits_ref, fmaps_ref = m(x)
+
+    from wavtokenizer_tpu.train.discriminators import (MSSTFT_SCALES,
+                                                       msstft_discriminator)
+    sd = R.state_dict_numpy(m)
+
+    def conv_wn(p):
+        v = sd[f"{p}.weight_v"].transpose(2, 3, 1, 0)
+        g = sd[f"{p}.weight_g"].reshape(1, 1, 1, -1)
+        return {"v": jnp.asarray(v), "g": jnp.asarray(g),
+                "bias": jnp.asarray(sd[f"{p}.bias"])}
+
+    params = []
+    for s in range(len(MSSTFT_SCALES)):
+        p = f"discriminators.{s}"
+        # first conv is plain (no weight_norm — ref msstftd.py:69-71)
+        convs = [{"kernel": jnp.asarray(
+                      sd[f"{p}.convs.0.conv.weight"].transpose(2, 3, 1, 0)),
+                  "bias": jnp.asarray(sd[f"{p}.convs.0.conv.bias"])}]
+        convs += [conv_wn(f"{p}.convs.{i}.conv") for i in range(1, 5)]
+        params.append({"convs": convs, "conv_post": conv_wn(f"{p}.conv_post.conv")})
+
+    logits, fmaps = msstft_discriminator(params, jnp.asarray(x.numpy()[:, 0, :]))
+    assert len(logits) == len(logits_ref) == 3
+    for ours, ref, fm, fm_ref in zip(logits, logits_ref, fmaps, fmaps_ref):
+        np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2),
+                                   ref.numpy(), atol=2e-4, rtol=1e-3)
+        assert len(fm) == len(fm_ref) == 5
+        for f, fr in zip(fm, fm_ref):
+            np.testing.assert_allclose(np.asarray(f).transpose(0, 3, 1, 2),
+                                       fr.numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_msstft_init_smoke():
+    from wavtokenizer_tpu.train.discriminators import (
+        init_msstft_discriminator, msstft_discriminator)
+    params = init_msstft_discriminator(seed=3)
+    logits, fmaps = msstft_discriminator(params, jnp.zeros((1, 8192)))
+    assert len(logits) == 3 and all(l.shape[-1] == 1 for l in logits)
+    assert all(len(f) == 5 for f in fmaps)

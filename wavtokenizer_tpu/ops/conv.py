@@ -97,16 +97,19 @@ def sconv_transpose1d(x: jnp.ndarray, kernel: jnp.ndarray,
 def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
            strides: tuple[int, int] = (1, 1),
            padding: tuple[tuple[int, int], tuple[int, int]] = ((0, 0), (0, 0)),
-           groups: int = 1, precision=None) -> jnp.ndarray:
+           groups: int = 1, dilation: tuple[int, int] = (1, 1),
+           precision=None) -> jnp.ndarray:
     """Plain conv2d in NHWC.  x: (B, H, W, Cin), kernel: (Kh, Kw, Cin//g, Cout).
 
     Used by the discriminator stacks (period-folded and spectrogram 2-D convs,
-    ref: decoder/discriminators.py, decoder/discriminator_dac.py).
+    ref: decoder/discriminators.py, decoder/discriminator_dac.py,
+    encoder/msstftd.py — the latter needs time-axis `dilation`).
     """
     y = lax.conv_general_dilated(
         x, kernel,
         window_strides=strides,
         padding=list(padding),
+        rhs_dilation=dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
         precision=precision,

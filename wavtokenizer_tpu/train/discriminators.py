@@ -22,8 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.conv import conv2d
-from ..ops.spectral import stft
-from .wnorm import fold_tree
+from ..ops.spectral import hann_window, stft
+from .wnorm import fold_tree, fold_wn
 
 LRELU_SLOPE = 0.1
 
@@ -273,3 +273,82 @@ def dac_discriminator(params: dict, x: jnp.ndarray) -> list:
     for p, n_fft in zip(params["dac_mrd"], DAC_FFT_SIZES):
         fmaps.append(_dac_mrd(p, n_fft, x))
     return fmaps
+
+
+# --------------------------------------------------------------------------
+# MS-STFT discriminator (ref: encoder/msstftd.py:28-128 — EnCodec's
+# discriminator family; present in the reference tree but unused by the
+# shipped WavTokenizer configs)
+# --------------------------------------------------------------------------
+
+# (n_fft, hop_length, win_length) per scale — ref msstftd.py:113-115 defaults.
+MSSTFT_SCALES = ((1024, 256, 1024), (2048, 512, 2048), (512, 128, 512))
+MSSTFT_DILATIONS = (1, 2, 4)
+MSSTFT_FILTERS = 32
+
+
+def init_msstft_discriminator(seed: int = 0, filters: int = MSSTFT_FILTERS) -> list:
+    """Conv stacks for the 3 STFT scales (ref msstftd.py:66-85).
+
+    With the default filters_scale=1 every hidden layer has `filters`
+    channels; input has 2 (complex STFT real/imag as channels).  Reference
+    quirk preserved: the FIRST conv of each scale is built without the norm
+    kwarg (msstftd.py:69-71) so it is a plain conv, while the rest carry
+    weight_norm."""
+    rng = np.random.default_rng(seed)
+    params = []
+    for _scale in MSSTFT_SCALES:
+        first = _conv2d_wn_init(rng, 3, 9, 2, filters)
+        convs = [{"kernel": fold_wn(jnp.asarray(first["v"]),
+                                    jnp.asarray(first["g"])),
+                  "bias": first["bias"]}]
+        for _d in MSSTFT_DILATIONS:
+            convs.append(_conv2d_wn_init(rng, 3, 9, filters, filters))
+        convs.append(_conv2d_wn_init(rng, 3, 3, filters, filters))
+        params.append({"convs": convs,
+                       "conv_post": _conv2d_wn_init(rng, 3, 3, filters, 1)})
+    return params
+
+
+def discriminator_stft(params: dict, scale: tuple, x: jnp.ndarray):
+    """One DiscriminatorSTFT scale (ref msstftd.py:87-97).  x: (B, T) audio.
+
+    Spectrogram: hann window, center=False, "window"-normalized complex STFT
+    (torchaudio.transforms.Spectrogram(normalized=True, power=None) divides
+    by sqrt(sum(win^2))).  Layout: torch (B, C, frames, freq) -> NHWC
+    (B, frames, freq, C) with C = [real, imag].
+    LeakyReLU slope is 0.2 here (msstftd.py:50), not the Vocos 0.1.
+    """
+    n_fft, hop, win = scale
+    folded = fold_tree(params)
+    w = hann_window(win)
+    spec = stft(x, n_fft, hop, win_length=win, window=w, center=False)
+    spec = spec * (1.0 / np.sqrt(np.sum(w.astype(np.float64) ** 2)))
+    h = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)  # (B, T', F, 2)
+
+    # (stride, time-dilation, padding) per conv; padding = get_2d_padding
+    # (msstftd.py:24-25): ((k-1)*d//2 on time, (k-1)//2 on freq).
+    conv_cfg = [((1, 1), 1, ((1, 1), (4, 4)))]
+    conv_cfg += [((1, 2), d, ((d, d), (4, 4))) for d in MSSTFT_DILATIONS]
+    conv_cfg += [((1, 1), 1, ((1, 1), (1, 1)))]
+
+    fmap = []
+    for c, (s, d, p) in zip(folded["convs"], conv_cfg):
+        h = conv2d(h, c["kernel"], c["bias"], strides=s, padding=p,
+                   dilation=(d, 1))
+        h = jax.nn.leaky_relu(h, 0.2)
+        fmap.append(h)
+    out = conv2d(h, folded["conv_post"]["kernel"], folded["conv_post"]["bias"],
+                 padding=((1, 1), (1, 1)))
+    return out, fmap
+
+
+def msstft_discriminator(params: list, x: jnp.ndarray):
+    """MultiScaleSTFTDiscriminator forward (ref msstftd.py:122-128).
+    Returns (logits list, fmaps list) over the 3 scales."""
+    logits, fmaps = [], []
+    for p, scale in zip(params, MSSTFT_SCALES):
+        out, fmap = discriminator_stft(p, scale, x)
+        logits.append(out)
+        fmaps.append(fmap)
+    return logits, fmaps
