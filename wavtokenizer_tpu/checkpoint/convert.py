@@ -100,21 +100,36 @@ def seanet_params(sd: dict, root: str, specs: list[LayerSpec]) -> list:
     """Build the flat param list for apply_seanet from torch keys rooted at
     ``root`` (e.g. 'feature_extractor.encodec.encoder.')."""
     params = []
+
+    def with_gn(p: dict, norm_prefix: str, spec) -> dict:
+        # time_group_norm: NormConv(Transpose)1d carries a GroupNorm(1, C)
+        # as `.norm` next to the inner conv (ref conv.py:112-122,145-155).
+        if spec.norm == "time_group_norm":
+            p["gn"] = norm_params(sd, norm_prefix)
+        return p
+
     for spec in specs:
         if spec.kind == "conv":
-            params.append(conv1d_params(sd, f"{root}{spec.prefix}.conv.conv"))
+            params.append(with_gn(
+                conv1d_params(sd, f"{root}{spec.prefix}.conv.conv"),
+                f"{root}{spec.prefix}.conv.norm", spec))
         elif spec.kind == "convtr":
-            params.append(convtr1d_params(sd, f"{root}{spec.prefix}.convtr.convtr"))
+            params.append(with_gn(
+                convtr1d_params(sd, f"{root}{spec.prefix}.convtr.convtr"),
+                f"{root}{spec.prefix}.convtr.norm", spec))
         elif spec.kind == "resblock":
             block = []
             # Sequential inside the resblock: [ELU, conv, ELU, conv] -> 1, 3
             for bi in range(len(spec.block_kernel_sizes)):
-                block.append(conv1d_params(
-                    sd, f"{root}{spec.prefix}.block.{2 * bi + 1}.conv.conv"))
+                block.append(with_gn(
+                    conv1d_params(
+                        sd, f"{root}{spec.prefix}.block.{2 * bi + 1}.conv.conv"),
+                    f"{root}{spec.prefix}.block.{2 * bi + 1}.conv.norm", spec))
             p = {"block": block}
             if not spec.true_skip:
-                p["shortcut"] = conv1d_params(
-                    sd, f"{root}{spec.prefix}.shortcut.conv.conv")
+                p["shortcut"] = with_gn(
+                    conv1d_params(sd, f"{root}{spec.prefix}.shortcut.conv.conv"),
+                    f"{root}{spec.prefix}.shortcut.conv.norm", spec)
             params.append(p)
         elif spec.kind == "lstm":
             params.append(lstm_params(sd, f"{root}{spec.prefix}.lstm",
@@ -371,4 +386,19 @@ def convert_wavtokenizer_state_dict(sd: dict, seanet_cfg: SEANetConfig,
         "quantizer": quantizer_params(sd, f"{fe_root}quantizer.", vq_n_q),
         "backbone": vocos_backbone_params(sd, "backbone.", backbone_cfg),
         "head": istft_head_params(sd, "head."),
+    }
+
+
+def convert_encodec_state_dict(sd: dict, cfg) -> dict:
+    """Raw pretrained-EnCodec state dict (encodec_*.th files load directly
+    into EncodecModel, ref encoder/model.py:250-281) -> param pytree for
+    models.encodec.  ``cfg`` is an EncodecConfig (e.g. from
+    encodec_model_24khz_config); time_group_norm params are picked up via
+    the seanet layer specs."""
+    return {
+        "encoder": seanet_params(sd, "encoder.",
+                                 encoder_layer_specs(cfg.seanet)),
+        "decoder": seanet_params(sd, "decoder.",
+                                 decoder_layer_specs(cfg.seanet)),
+        "quantizer": quantizer_params(sd, "quantizer.", cfg.vq.n_q),
     }

@@ -15,6 +15,7 @@ to the full segment length and trims, keeping shapes static).
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import dataclass
 
@@ -36,6 +37,10 @@ class EncodecConfig:
     segment: float | None = None
     overlap: float = 0.01
     target_bandwidths: tuple = (6.6, 6.6, 6.6, 6.6)
+    # Selected target bandwidth in kbps (ref: encoder/model.py:193-197
+    # set_target_bandwidth); None = use all vq.n_q quantizers.
+    bandwidth: float | None = None
+    name: str = "unset"
 
     @property
     def frame_rate(self) -> int:
@@ -53,6 +58,24 @@ class EncodecConfig:
         if sl is None:
             return None
         return max(1, int((1 - self.overlap) * sl))
+
+
+def set_target_bandwidth(cfg: EncodecConfig, bandwidth: float) -> EncodecConfig:
+    """Functional equivalent of EncodecModel.set_target_bandwidth
+    (ref: encoder/model.py:193-197)."""
+    if bandwidth not in cfg.target_bandwidths:
+        raise ValueError(
+            f"This model doesn't support the bandwidth {bandwidth}. "
+            f"Select one of {cfg.target_bandwidths}.")
+    return dataclasses.replace(cfg, bandwidth=bandwidth)
+
+
+def _effective_n_q(cfg: EncodecConfig, n_q: int | None) -> int | None:
+    if n_q is not None:
+        return n_q
+    if cfg.bandwidth is not None:
+        return cfg.vq.n_q_for_bandwidth(cfg.frame_rate, cfg.bandwidth)
+    return None
 
 
 def _encode_frame(params: dict, cfg: EncodecConfig, x: jnp.ndarray,
@@ -90,6 +113,7 @@ def encode(params: dict, cfg: EncodecConfig, x: jnp.ndarray,
     assert x.ndim == 3
     _, channels, length = x.shape
     assert 0 < channels <= 2
+    n_q = _effective_n_q(cfg, n_q)
     segment_length = cfg.segment_length
     if segment_length is None:
         segment_length = length
@@ -117,3 +141,60 @@ def forward(params: dict, cfg: EncodecConfig, x: jnp.ndarray,
     """Full resynthesis (ref: encoder/model.py:189-191)."""
     frames = encode(params, cfg, x, n_q=n_q)
     return decode(params, cfg, frames)[:, :, :x.shape[-1]]
+
+
+# --------------------------------------------------------------------------
+# Pretrained-EnCodec factory configs (ref: encoder/model.py:221-301).
+# The reference downloads released checkpoints from a URL; in the TPU build
+# the weights come from a local .th file via
+# checkpoint.convert.convert_encodec_state_dict (zero-egress image).
+# --------------------------------------------------------------------------
+
+def _get_model_config(target_bandwidths: tuple, sample_rate: int = 24_000,
+                      channels: int = 1, causal: bool = True,
+                      model_norm: str = "weight_norm",
+                      audio_normalize: bool = False,
+                      segment: float | None = None,
+                      name: str = "unset") -> EncodecConfig:
+    """EncodecModel._get_model as a pure config builder (ref model.py:221-248):
+    EnCodec SEANet defaults (dimension 128) and
+    n_q = 1000 * max_bw // (frame_rate * 10) with 1024-bin codebooks."""
+    seanet = SEANetConfig(channels=channels, dimension=128, causal=causal,
+                          norm=model_norm)
+    frame_rate = math.ceil(sample_rate / seanet.hop_length)
+    n_q = int(1000 * target_bandwidths[-1] // (frame_rate * 10))
+    vq = VQConfig(dimension=128, n_q=n_q, bins=1024)
+    return EncodecConfig(seanet, vq, sample_rate=sample_rate,
+                         channels=channels, normalize=audio_normalize,
+                         segment=segment,
+                         target_bandwidths=tuple(target_bandwidths), name=name)
+
+
+def encodec_model_24khz_config() -> EncodecConfig:
+    """Pretrained causal 24 kHz EnCodec (ref model.py:263-281): mono,
+    weight_norm, bandwidths up to 24 kbps -> 32 quantizers."""
+    return _get_model_config((1.5, 3.0, 6.0, 12.0, 24.0), sample_rate=24_000,
+                             channels=1, causal=True, model_norm="weight_norm",
+                             audio_normalize=False, name="encodec_24khz")
+
+
+def encodec_model_48khz_config() -> EncodecConfig:
+    """Pretrained 48 kHz EnCodec (ref model.py:283-301): stereo,
+    time_group_norm, volume-normalized 1 s segments -> 16 quantizers."""
+    return _get_model_config((3.0, 6.0, 12.0, 24.0), sample_rate=48_000,
+                             channels=2, causal=False,
+                             model_norm="time_group_norm",
+                             audio_normalize=True, segment=1.0,
+                             name="encodec_48khz")
+
+
+def encodec_lm_config(cfg: EncodecConfig):
+    """Config of the token LM paired with an EnCodec model
+    (ref: encoder/model.py:199-217 get_lm_model): 5 layers, dim 200,
+    past_context = 3.5 s of frames."""
+    from .lm import LMConfig, StreamingTransformerConfig
+    return LMConfig(
+        n_q=cfg.vq.n_q, card=cfg.vq.bins,
+        transformer=StreamingTransformerConfig(
+            dim=200, num_layers=5,
+            past_context=int(3.5 * cfg.frame_rate)))

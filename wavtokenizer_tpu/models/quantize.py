@@ -42,6 +42,14 @@ class VQConfig:
     def bw_per_q(self, frame_rate: int) -> float:
         return math.log2(self.bins) * frame_rate
 
+    def n_q_for_bandwidth(self, frame_rate: int,
+                          bandwidth: float | None = None) -> int:
+        """Target-bandwidth -> number of quantizers (ref: vq.py:142-152;
+        bandwidth is in kbps, e.g. 6.0 = 6 kbps)."""
+        if not bandwidth or bandwidth <= 0.0:
+            return self.n_q
+        return int(max(1, math.floor(bandwidth * 1000 / self.bw_per_q(frame_rate))))
+
 
 def vq_encode(params: dict, cfg: VQConfig, x: jnp.ndarray,
               n_q: int | None = None) -> jnp.ndarray:

@@ -46,6 +46,10 @@ class SEANetConfig:
     lstm: int = 2
     trim_right_ratio: float = 1.0
     final_activation: str | None = None
+    # "weight_norm" (folded at load — a no-op at apply time), "none", or
+    # "time_group_norm" (GroupNorm(1, C) after each conv, ref conv.py:45-49;
+    # used by the pretrained EnCodec 48 kHz model, encoder/model.py:295).
+    norm: str = "weight_norm"
 
     @property
     def hop_length(self) -> int:
@@ -67,6 +71,7 @@ class LayerSpec:
     block_kernel_sizes: tuple = ()
     true_skip: bool = True
     num_lstm_layers: int = 0
+    norm: str = "weight_norm"
 
 
 def encoder_layer_specs(cfg: SEANetConfig) -> list[LayerSpec]:
@@ -80,7 +85,7 @@ def encoder_layer_specs(cfg: SEANetConfig) -> list[LayerSpec]:
         nonlocal i
         specs.append(LayerSpec("conv", f"model.{i}", stride=stride,
                                dilation=dilation, causal=cfg.causal,
-                               pad_mode=cfg.pad_mode))
+                               pad_mode=cfg.pad_mode, norm=cfg.norm))
         i += 1
 
     conv()  # init conv k=kernel_size
@@ -90,7 +95,7 @@ def encoder_layer_specs(cfg: SEANetConfig) -> list[LayerSpec]:
                 "resblock", f"model.{i}", causal=cfg.causal, pad_mode=cfg.pad_mode,
                 block_kernel_sizes=(cfg.residual_kernel_size, 1),
                 block_dilations=(cfg.dilation_base ** j, 1),
-                true_skip=cfg.true_skip))
+                true_skip=cfg.true_skip, norm=cfg.norm))
             i += 1
         specs.append(LayerSpec("elu"))
         i += 1
@@ -109,7 +114,7 @@ def decoder_layer_specs(cfg: SEANetConfig) -> list[LayerSpec]:
     specs: list[LayerSpec] = []
     i = 0
     specs.append(LayerSpec("conv", f"model.{i}", causal=cfg.causal,
-                           pad_mode=cfg.pad_mode))
+                           pad_mode=cfg.pad_mode, norm=cfg.norm))
     i += 1
     if cfg.lstm:
         specs.append(LayerSpec("lstm", f"model.{i}", num_lstm_layers=cfg.lstm))
@@ -119,24 +124,39 @@ def decoder_layer_specs(cfg: SEANetConfig) -> list[LayerSpec]:
         i += 1
         specs.append(LayerSpec("convtr", f"model.{i}", stride=ratio,
                                causal=cfg.causal,
-                               trim_right_ratio=cfg.trim_right_ratio))
+                               trim_right_ratio=cfg.trim_right_ratio,
+                               norm=cfg.norm))
         i += 1
         for j in range(cfg.n_residual_layers):
             specs.append(LayerSpec(
                 "resblock", f"model.{i}", causal=cfg.causal, pad_mode=cfg.pad_mode,
                 block_kernel_sizes=(cfg.residual_kernel_size, 1),
                 block_dilations=(cfg.dilation_base ** j, 1),
-                true_skip=cfg.true_skip))
+                true_skip=cfg.true_skip, norm=cfg.norm))
             i += 1
     specs.append(LayerSpec("elu"))
     i += 1
     specs.append(LayerSpec("conv", f"model.{i}", causal=cfg.causal,
-                           pad_mode=cfg.pad_mode))
+                           pad_mode=cfg.pad_mode, norm=cfg.norm))
     i += 1
     if cfg.final_activation is not None:
         specs.append(LayerSpec("final_act"))
         i += 1
     return specs
+
+
+def _time_group_norm(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """GroupNorm(1, C) on channel-last (B, T, C): stats over the whole (T, C)
+    slab per batch element (ref conv.py:45-49; torch eps default 1e-5)."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + 1e-5) * p["weight"] + p["bias"]
+
+
+def _post_norm(conv_p: dict, spec: LayerSpec, x: jnp.ndarray) -> jnp.ndarray:
+    if spec.norm == "time_group_norm":
+        return _time_group_norm(conv_p["gn"], x)
+    return x
 
 
 def _apply_resblock(params: dict, spec: LayerSpec, x: jnp.ndarray) -> jnp.ndarray:
@@ -148,12 +168,14 @@ def _apply_resblock(params: dict, spec: LayerSpec, x: jnp.ndarray) -> jnp.ndarra
         h = jax.nn.elu(h)
         h = sconv1d(h, conv_p["kernel"], conv_p["bias"], stride=1, dilation=dil,
                     causal=spec.causal, pad_mode=spec.pad_mode)
+        h = _post_norm(conv_p, spec, h)
     if spec.true_skip:
         short = x
     else:
         sp = params["shortcut"]
         short = sconv1d(x, sp["kernel"], sp["bias"], stride=1, dilation=1,
                         causal=spec.causal, pad_mode=spec.pad_mode)
+        short = _post_norm(sp, spec, short)
     return short + h
 
 
@@ -165,10 +187,14 @@ def apply_seanet(params: list, specs: list[LayerSpec], x: jnp.ndarray,
             x = sconv1d(x, p["kernel"], p["bias"], stride=spec.stride,
                         dilation=spec.dilation, causal=spec.causal,
                         pad_mode=spec.pad_mode)
+            x = _post_norm(p, spec, x)
         elif spec.kind == "convtr":
+            norm_fn = ((lambda y: _time_group_norm(p["gn"], y))
+                       if spec.norm == "time_group_norm" else None)
             x = sconv_transpose1d(x, p["kernel"], p["bias"], stride=spec.stride,
                                   causal=spec.causal,
-                                  trim_right_ratio=spec.trim_right_ratio)
+                                  trim_right_ratio=spec.trim_right_ratio,
+                                  norm_fn=norm_fn)
         elif spec.kind == "resblock":
             x = _apply_resblock(p, spec, x)
         elif spec.kind == "lstm":

@@ -83,13 +83,18 @@ def sconv1d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None,
 def sconv_transpose1d(x: jnp.ndarray, kernel: jnp.ndarray,
                       bias: jnp.ndarray | None, stride: int = 1,
                       causal: bool = False, trim_right_ratio: float = 1.0,
-                      precision=None) -> jnp.ndarray:
+                      norm_fn=None, precision=None) -> jnp.ndarray:
     """Streamable transposed conv: conv then fixed-padding trim.
 
     Mirrors reference SConvTranspose1d.forward (encoder/modules/conv.py:231-253).
+    ``norm_fn`` (e.g. time_group_norm) runs on the UNTRIMMED conv output —
+    the reference norms inside NormConvTranspose1d (conv.py:151-155) and
+    unpads afterwards (conv.py:249-252), so norm stats include the edges.
     """
     kernel_size = kernel.shape[0]
     y = conv_transpose1d(x, kernel, bias, stride=stride, precision=precision)
+    if norm_fn is not None:
+        y = norm_fn(y)
     trims = sconvtr1d_unpaddings(kernel_size, stride, causal, trim_right_ratio)
     return unpad1d(y, trims)
 
