@@ -201,6 +201,56 @@ def bench_bulk_extract():
             "unit": "audio_sec/sec/chip", "vs_baseline": round(rtf / 1000.0, 4)}
 
 
+def bench_train_step():
+    """GAN training throughput on one chip, at the reference's own training
+    shape (batch 40 x 3 s crops, configs/...frame75...yaml:10).  The
+    reference publishes no training throughput (BASELINE.md), so the number
+    is reported on the same audio-sec/sec/chip yardstick as inference:
+    training faster than 40x real-time means one chip trains through the
+    80k-hour large-model corpus in under 2000 chip-hours/epoch."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavtokenizer_tpu import WavTokenizerSpec
+    from wavtokenizer_tpu.train.step import (TrainConfig, create_train_state,
+                                             train_step)
+
+    spec = WavTokenizerSpec()
+    tcfg = TrainConfig()
+    state = jax.device_put(create_train_state(spec, tcfg, seed=0))
+    B, SECONDS = int(os.environ.get("BENCH_TRAIN_BATCH", 40)), 3.0
+    T = int(spec.sample_rate * SECONDS)
+    rng = np.random.default_rng(0)
+    audios = [jax.device_put(jnp.asarray(
+        rng.normal(size=(B, T)).astype(np.float32) * 0.1)) for _ in range(3)]
+    key = jax.random.PRNGKey(0)
+
+    def one_step(state, audio, _prev):
+        new_state, metrics = train_step(state, audio, key, spec, tcfg)
+        return new_state, metrics["gen_total"]
+
+    state, loss = one_step(state, audios[0], None)
+    np.asarray(loss)
+
+    def chained(n):
+        import time as _t
+        nonlocal state
+        t0 = _t.perf_counter()
+        loss = None
+        for i in range(n):
+            state, loss = one_step(state, audios[i % len(audios)], loss)
+        np.asarray(loss)
+        return _t.perf_counter() - t0
+
+    chained(1)  # settle
+    t_small = min(chained(2) for _ in range(2))
+    t_large = min(chained(8) for _ in range(2))
+    per_step = (t_large - t_small) / 6
+    rtf = B * SECONDS / per_step
+    return {"metric": "train_step_rtf", "value": round(rtf, 1),
+            "unit": "audio_sec/sec/chip", "vs_baseline": round(rtf / 1000.0, 4)}
+
+
 def main():
     from wavtokenizer_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -210,7 +260,7 @@ def main():
     if "--all" in sys.argv:
         results = [headline]
         for fn in (bench_detokenize, bench_small600_single, bench_music16k,
-                   bench_longform_60s, bench_bulk_extract):
+                   bench_longform_60s, bench_bulk_extract, bench_train_step):
             r = fn()
             results.append(r)
             print(json.dumps(r))

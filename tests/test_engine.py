@@ -1,0 +1,97 @@
+"""Serving-engine tests: shape-bucketed micro-batching semantics.
+
+The engine is additive (the reference has no serving layer; infer.py loops
+files one at a time) — these tests pin the batching contract: coalescing,
+padding/trim bookkeeping, result equivalence vs direct API calls, and
+detokenize == codes_to_features + decode.
+"""
+
+import concurrent.futures as cf
+
+import numpy as np
+import jax
+
+from wavtokenizer_tpu import WavTokenizerSpec
+from wavtokenizer_tpu.api.engine import EngineConfig, ServingEngine
+from wavtokenizer_tpu.api.pretrained import WavTokenizer
+from wavtokenizer_tpu.models.init import init_wavtokenizer
+
+
+def _small_wt():
+    spec = WavTokenizerSpec()
+    params = init_wavtokenizer(spec, random_codebook=True)
+    return WavTokenizer(jax.device_put(params), spec)
+
+
+def test_engine_encode_decode_roundtrip_matches_direct(rng):
+    wt = _small_wt()
+    cfg = EngineConfig(batch_sizes=(4,), clip_seconds=(0.5,), max_wait_ms=20.0)
+    T = int(0.5 * wt.spec.sample_rate)
+    clips = [rng.normal(size=T).astype(np.float32) * 0.1 for _ in range(4)]
+
+    with ServingEngine(wt, cfg) as eng:
+        futs = [eng.submit("encode", c) for c in clips]
+        outs = [f.result(timeout=600) for f in futs]
+
+        # vs the direct (unbatched-by-us, batched-by-hand) API call
+        feats_ref, codes_ref = wt.encode_infer(np.stack(clips))
+        feats_ref, codes_ref = np.asarray(feats_ref), np.asarray(codes_ref)
+        for i, (feats, codes) in enumerate(outs):
+            np.testing.assert_array_equal(codes, codes_ref[0, i])
+            np.testing.assert_allclose(feats, feats_ref[i], rtol=0, atol=0)
+
+        # decode through the engine == direct decode (same (4, D, T')
+        # bucket shape on both paths, so one compiled program serves both)
+        wav = eng.decode(outs[0][0])
+        wav_ref = np.asarray(wt.decode(feats_ref, bandwidth_id=0))[0]
+        np.testing.assert_allclose(wav, wav_ref[:len(wav)], atol=1e-5)
+
+        # the four concurrent encodes should have coalesced into few batches
+        assert eng.stats.by_op["encode"] == 4
+        assert eng.stats.batches <= 3
+
+
+def test_engine_detokenize_equals_codes_to_features_decode(rng):
+    wt = _small_wt()
+    cfg = EngineConfig(batch_sizes=(1,), clip_seconds=(0.5,), max_wait_ms=5.0)
+    Tp = int(np.ceil(0.5 * wt.spec.sample_rate / wt.spec.seanet.hop_length))
+    codes = rng.integers(0, wt.spec.vq.bins, size=Tp).astype(np.int32)
+
+    with ServingEngine(wt, cfg) as eng:
+        wav = eng.detokenize(codes)
+    feats = wt.codes_to_features(codes[None, None])
+    wav_ref = np.asarray(wt.decode(feats, bandwidth_id=0))[0]
+    np.testing.assert_allclose(wav, wav_ref[:len(wav)], atol=1e-5)
+
+
+def test_engine_pads_short_clips_and_trims_tokens(rng):
+    wt = _small_wt()
+    hop = wt.spec.seanet.hop_length
+    # same (4, 0.5 s) bucket as the roundtrip test -> shared compile cache
+    cfg = EngineConfig(batch_sizes=(4,), clip_seconds=(0.5,), max_wait_ms=5.0)
+    T_short = int(0.3 * wt.spec.sample_rate)
+
+    with ServingEngine(wt, cfg) as eng:
+        feats, codes = eng.encode(rng.normal(size=T_short).astype(np.float32) * 0.1)
+    tp = int(np.ceil(T_short / hop))
+    assert codes.shape == (tp,)
+    assert feats.shape == (512, tp)
+
+
+def test_engine_rejects_oversized_and_propagates_errors(rng):
+    wt = _small_wt()
+    cfg = EngineConfig(batch_sizes=(1,), clip_seconds=(0.2,), max_wait_ms=1.0)
+    with ServingEngine(wt, cfg) as eng:
+        fut = eng.submit("encode",
+                         rng.normal(size=int(wt.spec.sample_rate)).astype(np.float32))
+        try:
+            fut.result(timeout=120)
+            raise AssertionError("expected bucket-overflow error")
+        except ValueError as e:
+            assert "largest bucket" in str(e)
+    # closed engine refuses new work
+    try:
+        eng.submit("encode", np.zeros(10, np.float32))
+        raise AssertionError("expected closed-engine error")
+    except RuntimeError:
+        pass

@@ -49,3 +49,62 @@ def test_lowpass_removes_high_frequencies():
     hi = spec[freqs > 5000].max()
     lo = spec[(freqs > 900) & (freqs < 1100)].max()
     assert hi < 1e-2 * lo, (hi, lo)
+
+
+def _write_test_wavs(d, n=4, sr=24000, seconds=0.6, seed=0):
+    from scipy.io import wavfile
+    rng = np.random.default_rng(seed)
+    os.makedirs(d, exist_ok=True)
+    names = []
+    for i in range(n):
+        mat = "box" if i % 2 == 0 else "tile"
+        t = np.arange(int(sr * seconds)) / sr
+        y = 0.3 * np.sin(2 * np.pi * (200 + 100 * i) * t) + \
+            0.05 * rng.normal(size=len(t))
+        name = f"s{i}_{mat}_LDV.wav"
+        wavfile.write(os.path.join(d, name), sr,
+                      (y * 32767).astype(np.int16))
+        names.append(name)
+    return names
+
+
+def test_analyze_features_roundtrip(tmp_path):
+    """wav_re.py-equivalent: folder -> reconstructions + t-SNE artifacts."""
+    from analyze_features import main, material_of
+    assert material_of("s1_box_LDV.wav") == "box"
+    src = str(tmp_path / "wavs"); out = str(tmp_path / "out")
+    names = _write_test_wavs(src)
+    rc = main(["roundtrip", "--input-dir", src, "--out-dir", out,
+               "--seconds", "0.5", "--perplexity", "2"])
+    assert rc == 0
+    for n in names:
+        assert os.path.exists(os.path.join(out, n))
+    pooled = np.load(os.path.join(out, "pooled_features.npy"))
+    assert pooled.shape == (len(names), 512)
+    assert os.path.exists(os.path.join(out, "tsne.png"))
+
+
+def test_analyze_features_compare(tmp_path):
+    """add.py-equivalent: combined clean-vs-enhanced t-SNE."""
+    from analyze_features import main
+    from wavtokenizer_tpu.models.init import init_wavtokenizer
+    from wavtokenizer_tpu import WavTokenizerSpec
+    from wavtokenizer_tpu.research.adapter import init_adapter
+    from wavtokenizer_tpu.train.trainer import save_checkpoint
+
+    src = str(tmp_path / "wavs"); out = str(tmp_path / "out")
+    names = _write_test_wavs(src, n=3)
+    adapter_params, adapter_state = init_adapter()
+    base = init_wavtokenizer(WavTokenizerSpec(), random_codebook=True)
+    ck_path = str(tmp_path / "adapter_ck")
+    save_checkpoint(ck_path, {"adapter": adapter_params,
+                              "adapter_state": adapter_state,
+                              "decoder": base["decoder"],
+                              "step": np.asarray(0)})
+    rc = main(["compare", "--input-dir", src, "--out-dir", out,
+               "--adapter-ckpt", ck_path, "--seconds", "0.5",
+               "--perplexity", "2"])
+    assert rc == 0
+    combined = np.load(os.path.join(out, "combined_features.npy"))
+    assert combined.shape == (2 * len(names), 512)
+    assert os.path.exists(os.path.join(out, "combined_tsne.png"))

@@ -1,0 +1,249 @@
+"""Production serving engine: dynamic micro-batching over shape buckets.
+
+The reference serves one request at a time (infer.py:31-70 loops files
+through ``encode_infer``/``decode`` individually).  On TPU that wastes the
+chip: XLA programs are compiled per shape and the MXU wants large batches.
+This engine is the TPU-idiomatic serving layer the reference never had:
+
+* **Shape buckets.**  Every request is padded to a small, fixed set of
+  (batch, length) shapes so the device only ever sees pre-compiled
+  programs — no recompiles in the serving path, no dynamic shapes.
+* **Dynamic micro-batching.**  A background thread drains a queue,
+  coalesces concurrent requests for the same bucket into one device call,
+  and fans results back out to per-request futures — the standard
+  continuous-batching pattern, applied to codec tokenize/detokenize.
+* **Three ops.**  ``encode`` (audio -> features+codes, the tokenizer path),
+  ``decode`` (features -> audio), ``detokenize`` (codes -> audio, the
+  audio-LM serving path = codes_to_features + decode,
+  ref decoder/pretrained.py:209-239 then :192-207).
+
+Padding semantics: audio shorter than the bucket is zero-padded and the
+returned token/sample counts are trimmed to the request's true frame count
+(``ceil(T / hop)``, ref encoder/model.py:103).  Tokens therefore match the
+unpadded clip except for conv edge effects inside the final receptive
+field — for bit-exact offline parity use ``WavTokenizer.encode_infer``
+directly with the clip's natural length.
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    batch_sizes: tuple = (1, 8, 32)     # per-bucket max batch, ascending
+    clip_seconds: tuple = (3.0,)        # length buckets, ascending
+    max_wait_ms: float = 4.0            # linger for batch coalescing
+    max_queue: int = 4096
+
+
+@dataclass
+class EngineStats:
+    requests: int = 0
+    batches: int = 0
+    batched_requests: int = 0
+    by_op: dict = field(default_factory=dict)
+
+    @property
+    def mean_batch_occupancy(self) -> float:
+        return self.batched_requests / max(self.batches, 1)
+
+
+class ServingEngine:
+    """Micro-batching server around a loaded ``WavTokenizer``.
+
+    >>> eng = ServingEngine(wt)
+    >>> fut = eng.submit("encode", audio_np)     # non-blocking
+    >>> feats, codes = fut.result()
+    >>> wav = eng.detokenize(codes_np)           # blocking convenience
+    """
+
+    def __init__(self, wt, config: EngineConfig = EngineConfig()):
+        import numpy as np
+        self._np = np
+        self.wt = wt
+        self.cfg = config
+        self.hop = wt.spec.seanet.hop_length
+        self.sr = wt.spec.sample_rate
+        self.stats = EngineStats()
+        self._q: queue.Queue = queue.Queue(maxsize=config.max_queue)
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="wt-serving-engine")
+        self._worker.start()
+
+    # ---- public API ----------------------------------------------------
+
+    def submit(self, op: str, payload) -> Future:
+        """op in {encode, decode, detokenize}; returns a Future.
+
+        encode: (T,) float audio -> (features (D, T'), codes (T',))
+        decode: (D, T') features -> (T,) float audio
+        detokenize: (T',) int codes -> (T,) float audio
+        """
+        if op not in ("encode", "decode", "detokenize"):
+            raise ValueError(op)
+        if self._closed:
+            raise RuntimeError("engine closed")
+        fut: Future = Future()
+        self._q.put((op, payload, fut))
+        return fut
+
+    def encode(self, audio):
+        return self.submit("encode", audio).result()
+
+    def decode(self, features):
+        return self.submit("decode", features).result()
+
+    def detokenize(self, codes):
+        return self.submit("detokenize", codes).result()
+
+    def warmup(self) -> None:
+        """Pre-compile every (op, bucket) program so first real requests
+        never hit a compile."""
+        np = self._np
+        for secs in self.cfg.clip_seconds:
+            T = int(secs * self.sr)
+            Tp = math.ceil(T / self.hop)
+            for b in self.cfg.batch_sizes:
+                self._run_encode(np.zeros((b, T), np.float32))
+                self._run_decode(np.zeros((b, 512, Tp), np.float32))
+                self._run_detok(np.zeros((b, Tp), np.int32))
+
+    def close(self) -> None:
+        self._closed = True
+        self._q.put(None)
+        self._worker.join(timeout=30)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ---- batching loop -------------------------------------------------
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            batch = [item]
+            # linger briefly to coalesce same-op requests
+            deadline = time.perf_counter() + self.cfg.max_wait_ms / 1e3
+            max_b = self.cfg.batch_sizes[-1]
+            while len(batch) < max_b:
+                timeout = deadline - time.perf_counter()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._dispatch(batch)
+                    return
+                if nxt[0] != batch[0][0]:   # different op: flush, restart
+                    self._dispatch(batch)
+                    batch = [nxt]
+                    deadline = time.perf_counter() + self.cfg.max_wait_ms / 1e3
+                    continue
+                batch.append(nxt)
+            self._dispatch(batch)
+
+    def _bucket_batch(self, n: int) -> int:
+        for b in self.cfg.batch_sizes:
+            if n <= b:
+                return b
+        return self.cfg.batch_sizes[-1]
+
+    def _bucket_samples(self, t: int) -> int:
+        for secs in self.cfg.clip_seconds:
+            if t <= int(secs * self.sr):
+                return int(secs * self.sr)
+        raise ValueError(
+            f"clip of {t} samples exceeds the largest bucket "
+            f"({self.cfg.clip_seconds[-1]} s); chunk long audio via "
+            "api.streaming first")
+
+    def _bucket_frames(self, tp: int) -> int:
+        """Frame-count bucket: capacity of each sample bucket in frames
+        (= ceil(samples / hop), matching warmup's shapes)."""
+        for secs in self.cfg.clip_seconds:
+            cap = math.ceil(int(secs * self.sr) / self.hop)
+            if tp <= cap:
+                return cap
+        raise ValueError(
+            f"{tp} frames exceeds the largest bucket "
+            f"({self.cfg.clip_seconds[-1]} s); chunk long audio via "
+            "api.streaming first")
+
+    def _dispatch(self, batch) -> None:
+        op = batch[0][0]
+        try:
+            self._dispatch_inner(op, batch)
+        except Exception as e:  # fan the failure out to every waiter
+            for _, _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)
+
+    def _dispatch_inner(self, op, batch) -> None:
+        np = self._np
+        self.stats.requests += len(batch)
+        self.stats.batches += 1
+        self.stats.batched_requests += len(batch)
+        self.stats.by_op[op] = self.stats.by_op.get(op, 0) + len(batch)
+
+        payloads = [np.asarray(p) for _, p, _ in batch]
+        if op == "encode":
+            lens = [p.shape[-1] for p in payloads]
+            T = self._bucket_samples(max(lens))
+            B = self._bucket_batch(len(batch))
+            x = np.zeros((B, T), np.float32)
+            for i, p in enumerate(payloads):
+                x[i, :p.shape[-1]] = p
+            feats, codes = self._run_encode(x)
+            for i, (_, _, fut) in enumerate(batch):
+                tp = math.ceil(lens[i] / self.hop)
+                fut.set_result((feats[i, :, :tp], codes[0, i, :tp]))
+        elif op == "decode":
+            tps = [p.shape[-1] for p in payloads]
+            Tp = self._bucket_frames(max(tps))
+            B = self._bucket_batch(len(batch))
+            x = np.zeros((B, payloads[0].shape[0], Tp), np.float32)
+            for i, p in enumerate(payloads):
+                x[i, :, :p.shape[-1]] = p
+            wav = self._run_decode(x)
+            for i, (_, _, fut) in enumerate(batch):
+                fut.set_result(wav[i, :tps[i] * self.hop])
+        else:  # detokenize
+            tps = [p.shape[-1] for p in payloads]
+            Tp = self._bucket_frames(max(tps))
+            B = self._bucket_batch(len(batch))
+            x = np.zeros((B, Tp), np.int32)
+            for i, p in enumerate(payloads):
+                x[i, :p.shape[-1]] = p
+            wav = self._run_detok(x)
+            for i, (_, _, fut) in enumerate(batch):
+                fut.set_result(wav[i, :tps[i] * self.hop])
+
+    # ---- device calls (one compiled program per bucket shape) ----------
+
+    def _run_encode(self, x):
+        np = self._np
+        feats, codes = self.wt.encode_infer(x)
+        return np.asarray(feats), np.asarray(codes)
+
+    def _run_decode(self, x):
+        return self._np.asarray(self.wt.decode(x, bandwidth_id=0))
+
+    def _run_detok(self, codes):
+        np = self._np
+        feats = self.wt.codes_to_features(codes[None])
+        return np.asarray(self.wt.decode(feats, bandwidth_id=0))

@@ -13,25 +13,39 @@ from __future__ import annotations
 import numpy as np
 
 
-def pool_features(features: np.ndarray) -> np.ndarray:
-    """(B, D, T) or (B, T, D) -> (B, D) mean-pooled embeddings."""
+def pool_features(features: np.ndarray, time_axis: int | None = None) -> np.ndarray:
+    """(B, D, T) or (B, T, D) -> (B, D) mean-pooled embeddings.
+
+    Pass ``time_axis`` (1 or 2) explicitly when known; the heuristic
+    (time = the longer trailing axis) misfires on clips shorter than D
+    frames."""
     f = np.asarray(features)
     if f.ndim != 3:
         raise ValueError(f.shape)
-    # treat the smaller trailing axis as channels
-    if f.shape[1] <= f.shape[2]:
-        return f.mean(axis=2)
-    return f.mean(axis=1)
+    if time_axis is None:
+        time_axis = 2 if f.shape[2] >= f.shape[1] else 1
+    if time_axis not in (1, 2):
+        raise ValueError(time_axis)
+    return f.mean(axis=time_axis)
 
 
 def tsne_project(embeddings: np.ndarray, perplexity: float = 30.0,
                  seed: int = 0) -> np.ndarray:
     """(N, D) -> (N, 2) t-SNE projection (tsne.py / add.py plots)."""
     from sklearn.manifold import TSNE
-    n = len(embeddings)
+    x = np.asarray(embeddings)
+    n = len(x)
     perplexity = min(perplexity, max(2.0, (n - 1) / 3.0))
-    return TSNE(n_components=2, perplexity=perplexity, init="pca",
-                random_state=seed).fit_transform(np.asarray(embeddings))
+    # barnes_hut segfaults on tiny inputs (single-core sklearn build) and
+    # its O(N log N) approximation only pays off at scale; use the exact
+    # gradient below a few hundred points.
+    method = "exact" if n < 500 else "barnes_hut"
+    # PCA init divides by the total variance; degenerate (near-identical)
+    # embeddings — e.g. an untrained model collapsing to one code — would
+    # turn the whole projection into NaNs.
+    init = "pca" if float(x.var(axis=0).sum()) > 1e-12 else "random"
+    return TSNE(n_components=2, perplexity=perplexity, init=init,
+                method=method, random_state=seed).fit_transform(x)
 
 
 def kmeans_clusters(embeddings: np.ndarray, n_clusters: int, seed: int = 0):
