@@ -59,8 +59,15 @@ def two_views(rng, feats: list[np.ndarray], batch: int, crop: int):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--features-dir", required=True,
+    ap.add_argument("--features-dir", default=None,
                     help=".npy feature files (extract_features.py output)")
+    ap.add_argument("--xvector-scp", default=None,
+                    help="Kaldi xvector.scp — train on speaker/material "
+                         "x-vector pairs instead of feature crops "
+                         "(byol_dataset.py XVectorDataset mode)")
+    ap.add_argument("--detect-clean", action="store_true",
+                    help="fix the reference's inert clean-pairing phase "
+                         "(see research/byol_data.py)")
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--crop-frames", type=int, default=64)
@@ -84,11 +91,20 @@ def main(argv=None):
     from wavtokenizer_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    feats = load_feature_files(args.features_dir, args.layout)
-    if not feats:
-        print("no .npy files found", file=sys.stderr)
-        return 1
-    cfg = BYOLConfig(input_dim=feats[0].shape[-1])
+    xv = None
+    if args.xvector_scp:
+        from wavtokenizer_tpu.research.byol_data import XVectorPairs
+        xv = XVectorPairs(args.xvector_scp, detect_clean=args.detect_clean)
+        print(f"{len(xv)} x-vector pairs (dim {xv.feat_dim})")
+        cfg = BYOLConfig(input_dim=xv.feat_dim)
+    elif args.features_dir:
+        feats = load_feature_files(args.features_dir, args.layout)
+        if not feats:
+            print("no .npy files found", file=sys.stderr)
+            return 1
+        cfg = BYOLConfig(input_dim=feats[0].shape[-1])
+    else:
+        ap.error("one of --features-dir / --xvector-scp is required")
     params = init_byol(cfg, seed=args.seed)
     tx = optax.adam(args.learning_rate)
     opt_state = tx.init(params["online"])
@@ -108,7 +124,11 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
     with open(os.path.join(args.out_dir, "metrics.jsonl"), "a") as logf:
         for s in range(args.steps):
-            v1, v2 = two_views(rng, feats, args.batch_size, args.crop_frames)
+            if xv is not None:
+                v1, v2, _ = xv.batch(rng, args.batch_size)
+            else:
+                v1, v2 = two_views(rng, feats, args.batch_size,
+                                   args.crop_frames)
             params, opt_state, loss = step(params, opt_state, v1, v2)
             if s % 20 == 0:
                 rec = {"step": s, "byol_loss": float(loss)}
@@ -123,9 +143,14 @@ def main(argv=None):
         embed_fn = jax.jit(lambda x: simple_transformer(
             params["online"]["encoder"], x, cfg))
         embs = []
-        for f in feats:
-            v, _ = two_views(rng, [f], 1, args.crop_frames)
-            embs.append(np.asarray(embed_fn(v))[0])
+        if xv is not None:
+            for utt in sorted(xv.vectors):
+                embs.append(np.asarray(
+                    embed_fn(np.asarray(xv.vectors[utt], np.float32)[None]))[0])
+        else:
+            for f in feats:
+                v, _ = two_views(rng, [f], 1, args.crop_frames)
+                embs.append(np.asarray(embed_fn(v))[0])
         embs = np.stack(embs)
         pts = tsne_project(embs, perplexity=min(30.0, max(2.0, len(embs) / 3)))
         np.save(args.tsne_out, pts)
