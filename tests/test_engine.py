@@ -95,3 +95,66 @@ def test_engine_rejects_oversized_and_propagates_errors(rng):
         raise AssertionError("expected closed-engine error")
     except RuntimeError:
         pass
+
+
+def test_serve_http_endpoints(rng):
+    """serve.py protocol: encode/decode/detokenize over localhost HTTP
+    match the direct API (same engine semantics), plus health/stats."""
+    import http.client
+    import json
+    import os
+    import sys
+    import threading
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools_tpu"))
+    import serve
+
+    wt = _small_wt()
+    cfg = EngineConfig(batch_sizes=(4,), clip_seconds=(0.5,), max_wait_ms=5.0)
+    eng = ServingEngine(wt, cfg)
+    httpd = serve.build_server("127.0.0.1", 0, eng, "cpu-test")
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["ok"] and health["device"] == "cpu-test"
+
+        audio = rng.normal(size=int(0.5 * wt.spec.sample_rate)).astype(
+            np.float32) * 0.1
+        conn.request("POST", "/encode",
+                     json.dumps({"audio": serve.encode_tensor(audio)}),
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        out = json.loads(r.read())
+        codes = serve.decode_tensor(out["codes"])
+        feats = serve.decode_tensor(out["features"])
+        feats_ref, codes_ref = wt.encode_infer(audio[None])
+        np.testing.assert_array_equal(codes, np.asarray(codes_ref)[0, 0])
+        np.testing.assert_array_equal(feats, np.asarray(feats_ref)[0])
+
+        conn.request("POST", "/detokenize",
+                     json.dumps({"codes": serve.encode_tensor(codes)}),
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        wav = serve.decode_tensor(json.loads(r.read())["audio"])
+        assert wav.shape == (len(codes) * wt.spec.seanet.hop_length,)
+
+        # malformed request -> 400 with an error message, server stays up
+        conn.request("POST", "/decode", json.dumps({"wrong": 1}),
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 400 and "error" in json.loads(r.read())
+
+        conn.request("GET", "/stats")
+        stats = json.loads(conn.getresponse().read())
+        assert stats["requests"] >= 2 and stats["by_op"]["encode"] == 1
+    finally:
+        httpd.shutdown()
+        eng.close()

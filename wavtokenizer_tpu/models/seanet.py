@@ -179,44 +179,61 @@ def _apply_resblock(params: dict, spec: LayerSpec, x: jnp.ndarray) -> jnp.ndarra
     return short + h
 
 
+def _apply_layer(p, spec: LayerSpec, x: jnp.ndarray,
+                 final_activation: str | None) -> jnp.ndarray:
+    if spec.kind == "conv":
+        x = sconv1d(x, p["kernel"], p["bias"], stride=spec.stride,
+                    dilation=spec.dilation, causal=spec.causal,
+                    pad_mode=spec.pad_mode)
+        return _post_norm(p, spec, x)
+    if spec.kind == "convtr":
+        norm_fn = ((lambda y: _time_group_norm(p["gn"], y))
+                   if spec.norm == "time_group_norm" else None)
+        return sconv_transpose1d(x, p["kernel"], p["bias"], stride=spec.stride,
+                                 causal=spec.causal,
+                                 trim_right_ratio=spec.trim_right_ratio,
+                                 norm_fn=norm_fn)
+    if spec.kind == "resblock":
+        return _apply_resblock(p, spec, x)
+    if spec.kind == "lstm":
+        return slstm(x, p["layers"], skip=True)
+    if spec.kind == "elu":
+        return jax.nn.elu(x)
+    if spec.kind == "final_act":
+        if final_activation == "Tanh":
+            return jnp.tanh(x)
+        raise NotImplementedError(final_activation)
+    raise ValueError(spec.kind)
+
+
 def apply_seanet(params: list, specs: list[LayerSpec], x: jnp.ndarray,
-                 final_activation: str | None = None) -> jnp.ndarray:
-    """Run the flattened sequential model.  x: (B, T, C)."""
+                 final_activation: str | None = None,
+                 remat: bool = False) -> jnp.ndarray:
+    """Run the flattened sequential model.  x: (B, T, C).
+
+    ``remat=True`` wraps each layer in ``jax.checkpoint`` so the backward
+    pass recomputes layer activations instead of keeping them live — the
+    early encoder convs at 72 000 samples dominate training-step HBM (the
+    full batch-40 GAN step needs ~20 GB without remat vs a 16 GB v5e chip).
+    Inference paths never pass it (zero cost there)."""
     for p, spec in zip(params, specs):
-        if spec.kind == "conv":
-            x = sconv1d(x, p["kernel"], p["bias"], stride=spec.stride,
-                        dilation=spec.dilation, causal=spec.causal,
-                        pad_mode=spec.pad_mode)
-            x = _post_norm(p, spec, x)
-        elif spec.kind == "convtr":
-            norm_fn = ((lambda y: _time_group_norm(p["gn"], y))
-                       if spec.norm == "time_group_norm" else None)
-            x = sconv_transpose1d(x, p["kernel"], p["bias"], stride=spec.stride,
-                                  causal=spec.causal,
-                                  trim_right_ratio=spec.trim_right_ratio,
-                                  norm_fn=norm_fn)
-        elif spec.kind == "resblock":
-            x = _apply_resblock(p, spec, x)
-        elif spec.kind == "lstm":
-            x = slstm(x, p["layers"], skip=True)
-        elif spec.kind == "elu":
-            x = jax.nn.elu(x)
-        elif spec.kind == "final_act":
-            if final_activation == "Tanh":
-                x = jnp.tanh(x)
-            else:
-                raise NotImplementedError(final_activation)
+        if remat and spec.kind in ("conv", "convtr", "resblock", "lstm"):
+            x = jax.checkpoint(
+                lambda p, x, _s=spec: _apply_layer(p, _s, x, final_activation)
+            )(p, x)
         else:
-            raise ValueError(spec.kind)
+            x = _apply_layer(p, spec, x, final_activation)
     return x
 
 
-def seanet_encode(params: list, cfg: SEANetConfig, audio: jnp.ndarray) -> jnp.ndarray:
+def seanet_encode(params: list, cfg: SEANetConfig, audio: jnp.ndarray,
+                  remat: bool = False) -> jnp.ndarray:
     """audio: (B, T, 1) -> latent (B, T', dimension)."""
-    return apply_seanet(params, encoder_layer_specs(cfg), audio)
+    return apply_seanet(params, encoder_layer_specs(cfg), audio, remat=remat)
 
 
-def seanet_decode(params: list, cfg: SEANetConfig, z: jnp.ndarray) -> jnp.ndarray:
+def seanet_decode(params: list, cfg: SEANetConfig, z: jnp.ndarray,
+                  remat: bool = False) -> jnp.ndarray:
     """z: (B, T', dimension) -> audio (B, T, channels)."""
     return apply_seanet(params, decoder_layer_specs(cfg), z,
-                        final_activation=cfg.final_activation)
+                        final_activation=cfg.final_activation, remat=remat)

@@ -163,22 +163,30 @@ def convnext_block(p: dict, x: jnp.ndarray, cond_id=None,
 # --------------------------------------------------------------------------
 
 def vocos_backbone(params: dict, cfg: VocosBackboneConfig, x: jnp.ndarray,
-                   bandwidth_id=None, fused: bool | None = None) -> jnp.ndarray:
+                   bandwidth_id=None, fused: bool | None = None,
+                   remat: bool = False) -> jnp.ndarray:
     """x: (B, T, input_channels) features -> (B, T, dim) hidden.
 
     Mirrors VocosBackbone.forward (ref: decoder/models.py:223-235):
     embed conv -> pos_net (2 resblocks, attention, 2 resblocks, GroupNorm)
     -> (Ada)LN -> ConvNeXt stack -> final LayerNorm.
+
+    ``remat=True`` checkpoints each pos-net / ConvNeXt block for the
+    training backward pass (see apply_seanet); inference never sets it.
     """
     g = cfg.groupnorm_groups
+
+    def ckpt(fn, *args):
+        return jax.checkpoint(fn)(*args) if remat else fn(*args)
+
     x = conv1d(x, params["embed"]["kernel"], params["embed"]["bias"],
                padding=(3, 3))
     pos = params["pos_net"]
-    x = pos_resnet_block(pos[0], x, g)
-    x = pos_resnet_block(pos[1], x, g)
-    x = attn_block(pos[2], x, g)
-    x = pos_resnet_block(pos[3], x, g)
-    x = pos_resnet_block(pos[4], x, g)
+    x = ckpt(lambda p, x: pos_resnet_block(p, x, g), pos[0], x)
+    x = ckpt(lambda p, x: pos_resnet_block(p, x, g), pos[1], x)
+    x = ckpt(lambda p, x: attn_block(p, x, g), pos[2], x)
+    x = ckpt(lambda p, x: pos_resnet_block(p, x, g), pos[3], x)
+    x = ckpt(lambda p, x: pos_resnet_block(p, x, g), pos[4], x)
     x = group_norm(x, pos[5]["weight"], pos[5]["bias"], g)
 
     if cfg.adanorm_num_embeddings:
@@ -187,7 +195,8 @@ def vocos_backbone(params: dict, cfg: VocosBackboneConfig, x: jnp.ndarray,
     else:
         x = layer_norm(x, params["norm"]["weight"], params["norm"]["bias"])
     for block in params["convnext"]:
-        x = convnext_block(block, x, cond_id=bandwidth_id, fused=fused)
+        x = ckpt(lambda p, x: convnext_block(p, x, cond_id=bandwidth_id,
+                                             fused=fused), block, x)
     x = layer_norm(x, params["final_layer_norm"]["weight"],
                    params["final_layer_norm"]["bias"])
     return x

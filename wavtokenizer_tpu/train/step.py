@@ -55,6 +55,10 @@ class TrainConfig:
     max_steps: int = 2_000_000
     num_bandwidths: int = 4
     weight_decay: float = 0.01  # torch AdamW default
+    # Rematerialize generator + discriminator blocks in the backward pass
+    # (jax.checkpoint).  Costs ~1/3 extra forward FLOPs, cuts step HBM from
+    # ~20 GB to v5e-chip size at the reference's batch 40 x 3 s.
+    remat: bool = True
 
 
 def cosine_schedule_with_warmup(base_lr: float, num_warmup_steps: int,
@@ -107,25 +111,39 @@ def create_train_state(spec: WavTokenizerSpec, tcfg: TrainConfig,
 
 
 def generator_forward(gen: dict, vq: dict, spec: WavTokenizerSpec,
-                      audio: jnp.ndarray, bandwidth_id, key, n_q: int):
+                      audio: jnp.ndarray, bandwidth_id, key, n_q: int,
+                      remat: bool = False):
     """Training forward: encoder -> VQ(train) -> backbone -> head
-    (ref: experiment.py:114-119 via feature_extractors.py:105-119)."""
+    (ref: experiment.py:114-119 via feature_extractors.py:105-119).
+
+    ``remat`` checkpoints every encoder/backbone block so the GAN backward
+    recomputes activations instead of holding them: the batch-40 x 3 s step
+    needs ~20 GB of HBM temps without it and fits a 16 GB v5e with it."""
     enc = fold_tree(gen["encoder"])
-    emb = seanet_encode(enc, spec.seanet, audio[:, :, None])
+    emb = seanet_encode(enc, spec.seanet, audio[:, :, None], remat=remat)
     quantized, codes, commit, new_vq = vq_train_forward(vq, spec.vq, emb, key,
                                                         n_q=n_q)
     h = vocos_backbone(gen["backbone"], spec.backbone, quantized, fused=False,
-                       bandwidth_id=bandwidth_id)
+                       bandwidth_id=bandwidth_id, remat=remat)
     audio_hat = istft_head(gen["head"], spec.head, h)
     return audio_hat, commit, new_vq
 
 
-def _disc_loss_fn(disc, audio_hat, audio, bandwidth_id, mrd_coeff):
+def _ckpt(fn, remat: bool):
+    """Optionally jax.checkpoint a discriminator-family forward: with three
+    families x (real, fake) passes over 72 000-sample waves, holding every
+    family's activations for backward is the other half of the train-step
+    HBM bill; checkpointing bounds the peak at the largest single family."""
+    return jax.checkpoint(fn) if remat else fn
+
+
+def _disc_loss_fn(disc, audio_hat, audio, bandwidth_id, mrd_coeff,
+                  remat=False):
     """ref: experiment.py:125-148."""
-    loss_dac = dac_discriminator_loss(disc, audio_hat, audio)
-    real_mp, gen_mp, _, _ = multi_period_discriminator(disc["mpd"], audio,
-                                                       audio_hat, bandwidth_id)
-    real_mrd, gen_mrd, _, _ = multi_resolution_discriminator(
+    loss_dac = _ckpt(dac_discriminator_loss, remat)(disc, audio_hat, audio)
+    real_mp, gen_mp, _, _ = _ckpt(multi_period_discriminator, remat)(
+        disc["mpd"], audio, audio_hat, bandwidth_id)
+    real_mrd, gen_mrd, _, _ = _ckpt(multi_resolution_discriminator, remat)(
         disc["mrd"], audio, audio_hat, bandwidth_id)
     loss_mp = hinge_discriminator_loss(real_mp, gen_mp) / len(real_mp)
     loss_mrd = hinge_discriminator_loss(real_mrd, gen_mrd) / len(real_mrd)
@@ -135,18 +153,19 @@ def _disc_loss_fn(disc, audio_hat, audio, bandwidth_id, mrd_coeff):
 
 
 def _gen_loss_fn(gen, disc, vq, spec, audio, bandwidth_id, key, n_q,
-                 mel_coeff, mrd_coeff, train_discriminator):
+                 mel_coeff, mrd_coeff, train_discriminator, remat=False):
     """ref: experiment.py:151-218."""
     audio_hat, commit_loss, new_vq = generator_forward(
-        gen, vq, spec, audio, bandwidth_id, key, n_q)
+        gen, vq, spec, audio, bandwidth_id, key, n_q, remat=remat)
     l_mel = mel_loss(audio_hat, audio, spec.sample_rate)
     metrics = {"mel_loss": l_mel, "commit_loss": commit_loss}
     loss = mel_coeff * l_mel + 1000.0 * commit_loss
     if train_discriminator:
-        dac_g, dac_feat = dac_generator_loss(disc, audio_hat, audio)
-        _, gen_mp, fr_mp, fg_mp = multi_period_discriminator(
+        dac_g, dac_feat = _ckpt(dac_generator_loss, remat)(disc, audio_hat,
+                                                           audio)
+        _, gen_mp, fr_mp, fg_mp = _ckpt(multi_period_discriminator, remat)(
             disc["mpd"], audio, audio_hat, bandwidth_id)
-        _, gen_mrd, fr_mrd, fg_mrd = multi_resolution_discriminator(
+        _, gen_mrd, fr_mrd, fg_mrd = _ckpt(multi_resolution_discriminator, remat)(
             disc["mrd"], audio, audio_hat, bandwidth_id)
         loss_gen_mp = hinge_generator_loss(gen_mp) / len(gen_mp)
         loss_gen_mrd = hinge_generator_loss(gen_mrd) / len(gen_mrd)
@@ -189,7 +208,8 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
 
         (_, d_metrics), d_grads = jax.value_and_grad(
             _disc_loss_fn, has_aux=True)(disc, audio_hat_d, audio,
-                                         bandwidth_id, tcfg.mrd_loss_coeff)
+                                         bandwidth_id, tcfg.mrd_loss_coeff,
+                                         tcfg.remat)
         d_updates, new_opt_disc = opt_disc_tx.update(d_grads,
                                                      state["opt_disc"], disc)
         disc = optax.apply_updates(disc, d_updates)
@@ -201,7 +221,8 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
     (_, (g_metrics, new_vq, _)), g_grads = jax.value_and_grad(
         _gen_loss_fn, has_aux=True)(state["gen"], disc, vq, spec, audio,
                                     bandwidth_id, k_vq2, n_q, mel_coeff,
-                                    tcfg.mrd_loss_coeff, train_discriminator)
+                                    tcfg.mrd_loss_coeff, train_discriminator,
+                                    tcfg.remat)
     g_updates, new_opt_gen = opt_gen_tx.update(g_grads, state["opt_gen"],
                                                state["gen"])
     gen = optax.apply_updates(state["gen"], g_updates)
