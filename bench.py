@@ -65,7 +65,12 @@ def _roundtrip_bench(spec, batch, seconds, label):
 
     codes, wav = roundtrip(params, audios[0], jnp.zeros_like(audios[0]))
     np.asarray(codes[..., :1])
-    per_iter = _chain_time(lambda p, a, w: roundtrip(p, a, w), params, audios, wav)
+    # single-clip (latency-bound) runs need many more chained iterations to
+    # average out tunnel jitter: measured spread at (4, 24) chains is
+    # ~1100-2900x run-to-run; (16, 96) stabilizes to a few percent.
+    n_small, n_large = (16, 96) if batch == 1 else (4, 24)
+    per_iter = _chain_time(lambda p, a, w: roundtrip(p, a, w), params, audios,
+                           wav, n_small=n_small, n_large=n_large)
     rtf = batch * seconds / per_iter
     return {"metric": label, "value": round(rtf, 1),
             "unit": "audio_sec/sec/chip", "vs_baseline": round(rtf / 1000.0, 4)}
@@ -202,12 +207,16 @@ def bench_bulk_extract():
 
 
 def bench_train_step():
-    """GAN training throughput on one chip, at the reference's own training
-    shape (batch 40 x 3 s crops, configs/...frame75...yaml:10).  The
-    reference publishes no training throughput (BASELINE.md), so the number
-    is reported on the same audio-sec/sec/chip yardstick as inference:
-    training faster than 40x real-time means one chip trains through the
-    80k-hour large-model corpus in under 2000 chip-hours/epoch."""
+    """GAN training throughput on one chip (batch 24 x 3 s crops; the
+    reference's per-GPU batch is 40, configs/...frame75...yaml:10, but XLA
+    pads the narrow-channel encoder activations to 128 lanes on the batch
+    axis, and with that padding batch 40 exceeds 16 GB of HBM even with
+    full rematerialization — 24 is the largest clean fit).  The reference
+    publishes no training throughput (BASELINE.md); the number is reported
+    on the same audio-sec/sec/chip yardstick as inference, but note the
+    workload is ~30x the inference FLOPs (generator fwd+bwd twice + three
+    discriminator families x real/fake x fwd+bwd), so ~50x real-time is
+    the expected scale: one epoch over LibriTTS (~585 h) is ~11 chip-hours."""
     import jax
     import jax.numpy as jnp
 
@@ -218,7 +227,7 @@ def bench_train_step():
     spec = WavTokenizerSpec()
     tcfg = TrainConfig()
     state = jax.device_put(create_train_state(spec, tcfg, seed=0))
-    B, SECONDS = int(os.environ.get("BENCH_TRAIN_BATCH", 40)), 3.0
+    B, SECONDS = int(os.environ.get("BENCH_TRAIN_BATCH", 24)), 3.0
     T = int(spec.sample_rate * SECONDS)
     rng = np.random.default_rng(0)
     audios = [jax.device_put(jnp.asarray(
@@ -248,7 +257,11 @@ def bench_train_step():
     per_step = (t_large - t_small) / 6
     rtf = B * SECONDS / per_step
     return {"metric": "train_step_rtf", "value": round(rtf, 1),
-            "unit": "audio_sec/sec/chip", "vs_baseline": round(rtf / 1000.0, 4)}
+            "unit": "audio_sec/sec/chip", "vs_baseline": round(rtf / 1000.0, 4),
+            "note": ("training, not inference: full GAN step (gen fwd+bwd x2 "
+                     "+ 3 discriminator families), ~30x inference FLOPs; "
+                     "the 1000x baseline target applies to the inference "
+                     "metrics above")}
 
 
 def main():
