@@ -158,3 +158,47 @@ def test_serve_http_endpoints(rng):
     finally:
         httpd.shutdown()
         eng.close()
+
+
+def test_engine_sharded_over_data_mesh(rng):
+    """Pod-scale serving: an engine given an 8-device mesh shards each
+    bucket over 'data' and returns the same results as a single-device
+    engine (params replicated by the caller)."""
+    import jax
+    from wavtokenizer_tpu.parallel.mesh import make_mesh, replicate
+
+    spec = WavTokenizerSpec()
+    params = init_wavtokenizer(spec, random_codebook=True)
+    mesh = make_mesh(8, model_parallel=1)
+    wt_sharded = WavTokenizer(replicate(mesh, params), spec)
+    wt_plain = WavTokenizer(jax.device_put(params), spec)
+    # the facade must not silently collapse the caller's placement
+    leaf = jax.tree_util.tree_leaves(wt_sharded.params)[0]
+    assert len(leaf.sharding.device_set) == 8, leaf.sharding
+
+    cfg = EngineConfig(batch_sizes=(8,), clip_seconds=(0.5,), max_wait_ms=20.0)
+    T = int(0.5 * wt_plain.spec.sample_rate)
+    clips = [rng.normal(size=T).astype(np.float32) * 0.1 for _ in range(8)]
+
+    with ServingEngine(wt_sharded, cfg, mesh=mesh) as eng:
+        outs = [f.result(timeout=600)
+                for f in [eng.submit("encode", c) for c in clips]]
+        wav_sharded = eng.detokenize(outs[0][1])
+    with ServingEngine(wt_plain, cfg) as eng:
+        outs_ref = [f.result(timeout=600)
+                    for f in [eng.submit("encode", c) for c in clips]]
+        wav_ref = eng.detokenize(outs_ref[0][1])
+
+    for (f1, c1), (f2, c2) in zip(outs, outs_ref):
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_allclose(f1, f2, atol=0)
+    np.testing.assert_allclose(wav_sharded, wav_ref, atol=1e-5)
+
+    # bucket not divisible by the data axis -> explicit constructor error
+    try:
+        ServingEngine(wt_sharded,
+                      EngineConfig(batch_sizes=(4, 6), clip_seconds=(0.5,)),
+                      mesh=mesh)
+        raise AssertionError("expected divisibility error")
+    except ValueError as e:
+        assert "divisible" in str(e)

@@ -64,11 +64,22 @@ class ServingEngine:
     >>> wav = eng.detokenize(codes_np)           # blocking convenience
     """
 
-    def __init__(self, wt, config: EngineConfig = EngineConfig()):
+    def __init__(self, wt, config: EngineConfig = EngineConfig(), mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — device batches are sharded
+        over its 'data' axis so one engine drives a whole slice (pod-scale
+        data-parallel serving; every bucket batch size must be divisible by
+        the data-axis length)."""
         import numpy as np
         self._np = np
         self.wt = wt
         self.cfg = config
+        self.mesh = mesh
+        if mesh is not None:
+            ndata = mesh.shape["data"]
+            bad = [b for b in config.batch_sizes if b % ndata]
+            if bad:
+                raise ValueError(
+                    f"batch buckets {bad} not divisible by data axis {ndata}")
         self.hop = wt.spec.seanet.hop_length
         self.sr = wt.spec.sample_rate
         self.stats = EngineStats()
@@ -235,15 +246,29 @@ class ServingEngine:
 
     # ---- device calls (one compiled program per bucket shape) ----------
 
+    def _place(self, x):
+        """Shard the batch axis over the mesh's 'data' axis (SPMD serving);
+        single-device engines pass host arrays straight through."""
+        if self.mesh is None:
+            return x
+        from ..parallel.mesh import shard_batch
+        return shard_batch(self.mesh, x)
+
     def _run_encode(self, x):
         np = self._np
-        feats, codes = self.wt.encode_infer(x)
+        feats, codes = self.wt.encode_infer(self._place(x))
         return np.asarray(feats), np.asarray(codes)
 
     def _run_decode(self, x):
-        return self._np.asarray(self.wt.decode(x, bandwidth_id=0))
+        return self._np.asarray(self.wt.decode(self._place(x),
+                                               bandwidth_id=0))
 
     def _run_detok(self, codes):
         np = self._np
-        feats = self.wt.codes_to_features(codes[None])
+        x = codes[None]                        # (K=1, B, T')
+        if self.mesh is not None:              # batch is axis 1 here
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            x = jax.device_put(x, NamedSharding(self.mesh, P(None, "data")))
+        feats = self.wt.codes_to_features(x)
         return np.asarray(self.wt.decode(feats, bandwidth_id=0))
