@@ -202,3 +202,24 @@ def test_engine_sharded_over_data_mesh(rng):
         raise AssertionError("expected divisibility error")
     except ValueError as e:
         assert "divisible" in str(e)
+
+
+def test_engine_oversized_request_does_not_poison_batch(rng):
+    """Per-request bucket validation in submit(): an oversized clip fails
+    only its own future; a valid request coalesced in the same window
+    still succeeds."""
+    wt = _small_wt()
+    cfg = EngineConfig(batch_sizes=(4,), clip_seconds=(0.5,),
+                       max_wait_ms=50.0)
+    T = int(0.5 * wt.spec.sample_rate)
+    with ServingEngine(wt, cfg) as eng:
+        good = eng.submit("encode", rng.normal(size=T).astype(np.float32) * 0.1)
+        bad = eng.submit("encode",
+                         rng.normal(size=10 * T).astype(np.float32))
+        try:
+            bad.result(timeout=60)
+            raise AssertionError("expected bucket-overflow error")
+        except ValueError:
+            pass
+        feats, codes = good.result(timeout=600)   # must NOT raise
+        assert codes.shape[-1] == int(np.ceil(T / wt.spec.seanet.hop_length))

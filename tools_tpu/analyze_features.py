@@ -109,7 +109,9 @@ def run_roundtrip(args) -> int:
 
     os.makedirs(args.out_dir, exist_ok=True)
     for name, wav in zip(names, recon):
-        save_pcm16(os.path.join(args.out_dir, name), wav, spec.sample_rate)
+        # reconstructions are PCM WAV regardless of the source container
+        out_name = os.path.splitext(name)[0] + ".wav"
+        save_pcm16(os.path.join(args.out_dir, out_name), wav, spec.sample_rate)
     pooled = pool_features(feats, time_axis=2)   # encode_infer: (B, D, T')
     np.save(os.path.join(args.out_dir, "pooled_features.npy"), pooled)
     if len(names) >= 3:

@@ -40,8 +40,10 @@ def main(argv=None):
     y = jax.jit(lambda x: jnp.sum(x * x))(jnp.arange(1024.0))
     val = float(np.asarray(y))
     print(f"compile+execute roundtrip: {time.perf_counter() - t0:.2f}s "
-          f"(sum sq 0..1023 = {val:.0f}, expect 357389824)")
-    ok = abs(val - 357389824.0) < 1.0
+          f"(sum sq 0..1023 = {val:.0f}, expect ~357389824)")
+    # f32 reduction order varies by backend (XLA:CPU is off by ~32 here);
+    # allow ulp-scale drift, catch garbage
+    ok = abs(val - 357389824.0) / 357389824.0 < 1e-5
 
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
     print(f"compilation cache: {cache_dir} "

@@ -29,7 +29,6 @@ import base64
 import json
 import os
 import sys
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -96,8 +95,13 @@ def make_handler(engine, device_kind: str):
                     wav = engine.submit(
                         "detokenize", decode_tensor(req["codes"])).result(600)
                     self._reply(200, {"audio": encode_tensor(wav)})
-            except Exception as e:  # surface the failure to the client
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                # malformed payload / oversized clip: the caller's fault
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:
+                # engine closed, device failure, timeout: OUR fault — 5xx so
+                # load balancers retry elsewhere and health alarms fire
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 

@@ -47,12 +47,11 @@ class EngineConfig:
 class EngineStats:
     requests: int = 0
     batches: int = 0
-    batched_requests: int = 0
     by_op: dict = field(default_factory=dict)
 
     @property
     def mean_batch_occupancy(self) -> float:
-        return self.batched_requests / max(self.batches, 1)
+        return self.requests / max(self.batches, 1)
 
 
 class ServingEngine:
@@ -64,7 +63,7 @@ class ServingEngine:
     >>> wav = eng.detokenize(codes_np)           # blocking convenience
     """
 
-    def __init__(self, wt, config: EngineConfig = EngineConfig(), mesh=None):
+    def __init__(self, wt, config: EngineConfig | None = None, mesh=None):
         """``mesh``: optional jax.sharding.Mesh — device batches are sharded
         over its 'data' axis so one engine drives a whole slice (pod-scale
         data-parallel serving; every bucket batch size must be divisible by
@@ -72,7 +71,7 @@ class ServingEngine:
         import numpy as np
         self._np = np
         self.wt = wt
-        self.cfg = config
+        self.cfg = config = config if config is not None else EngineConfig()
         self.mesh = mesh
         if mesh is not None:
             ndata = mesh.shape["data"]
@@ -85,6 +84,7 @@ class ServingEngine:
         self.stats = EngineStats()
         self._q: queue.Queue = queue.Queue(maxsize=config.max_queue)
         self._closed = False
+        self._lifecycle = threading.Lock()   # serializes submit vs close
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="wt-serving-engine")
         self._worker.start()
@@ -97,13 +97,27 @@ class ServingEngine:
         encode: (T,) float audio -> (features (D, T'), codes (T',))
         decode: (D, T') features -> (T,) float audio
         detokenize: (T',) int codes -> (T,) float audio
+
+        Payloads are bucket-validated HERE (per request) so an oversized
+        clip fails only its own future and can never poison the batch it
+        would have been coalesced with.
         """
         if op not in ("encode", "decode", "detokenize"):
             raise ValueError(op)
-        if self._closed:
-            raise RuntimeError("engine closed")
         fut: Future = Future()
-        self._q.put((op, payload, fut))
+        try:
+            arr = self._np.asarray(payload)
+            if op == "encode":
+                self._bucket_samples(arr.shape[-1])
+            else:
+                self._bucket_frames(arr.shape[-1])
+        except ValueError as e:
+            fut.set_exception(e)
+            return fut
+        with self._lifecycle:
+            if self._closed:
+                raise RuntimeError("engine closed")
+            self._q.put((op, arr, fut))
         return fut
 
     def encode(self, audio):
@@ -119,18 +133,31 @@ class ServingEngine:
         """Pre-compile every (op, bucket) program so first real requests
         never hit a compile."""
         np = self._np
+        dim = self.wt.spec.backbone.input_channels
         for secs in self.cfg.clip_seconds:
             T = int(secs * self.sr)
             Tp = math.ceil(T / self.hop)
             for b in self.cfg.batch_sizes:
                 self._run_encode(np.zeros((b, T), np.float32))
-                self._run_decode(np.zeros((b, 512, Tp), np.float32))
+                self._run_decode(np.zeros((b, dim, Tp), np.float32))
                 self._run_detok(np.zeros((b, Tp), np.int32))
 
     def close(self) -> None:
-        self._closed = True
-        self._q.put(None)
+        with self._lifecycle:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)
         self._worker.join(timeout=30)
+        # Fail anything that raced in behind the sentinel rather than
+        # leaving its future to hang until the caller's timeout.
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[2].done():
+                item[2].set_exception(RuntimeError("engine closed"))
 
     def __enter__(self):
         return self
@@ -208,7 +235,6 @@ class ServingEngine:
         np = self._np
         self.stats.requests += len(batch)
         self.stats.batches += 1
-        self.stats.batched_requests += len(batch)
         self.stats.by_op[op] = self.stats.by_op.get(op, 0) + len(batch)
 
         payloads = [np.asarray(p) for _, p, _ in batch]

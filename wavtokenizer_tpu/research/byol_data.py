@@ -44,7 +44,10 @@ def read_kaldi_ark_at(path: str, offset: int) -> np.ndarray:
             raise ValueError(f"{path}:{offset}: not a kaldi binary record")
         token = b""
         while not token.endswith(b" "):
-            token += f.read(1)
+            b = f.read(1)
+            if not b:
+                raise ValueError(f"{path}:{offset}: truncated kaldi record")
+            token += b
         kind = token.decode().strip()
         dtype = {"FV": "<f4", "FM": "<f4",
                  "DV": "<f8", "DM": "<f8"}.get(kind)

@@ -56,8 +56,10 @@ class TrainConfig:
     num_bandwidths: int = 4
     weight_decay: float = 0.01  # torch AdamW default
     # Rematerialize generator + discriminator blocks in the backward pass
-    # (jax.checkpoint).  Costs ~1/3 extra forward FLOPs, cuts step HBM from
-    # ~20 GB to v5e-chip size at the reference's batch 40 x 3 s.
+    # (jax.checkpoint).  Costs ~1/3 extra forward FLOPs; cuts step HBM from
+    # ~20.6 GB to ~16.9 GB at the reference's batch 40 x 3 s (still over a
+    # 16 GB v5e — batch 24 is the measured single-chip maximum; the 8-way
+    # dp configs run ~5/chip and are nowhere near the limit).
     remat: bool = True
 
 
@@ -118,7 +120,8 @@ def generator_forward(gen: dict, vq: dict, spec: WavTokenizerSpec,
 
     ``remat`` checkpoints every encoder/backbone block so the GAN backward
     recomputes activations instead of holding them: the batch-40 x 3 s step
-    needs ~20 GB of HBM temps without it and fits a 16 GB v5e with it."""
+    drops from ~20.6 GB of HBM temps to ~16.9 GB (layout padding keeps the
+    floor above a 16 GB v5e at batch 40; batch 24 fits — see TrainConfig)."""
     enc = fold_tree(gen["encoder"])
     emb = seanet_encode(enc, spec.seanet, audio[:, :, None], remat=remat)
     quantized, codes, commit, new_vq = vq_train_forward(vq, spec.vq, emb, key,
