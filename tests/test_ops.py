@@ -187,3 +187,43 @@ def test_linear_overlap_add_parity():
         y_ref = _linear_overlap_add(frames_t, stride=60).numpy()
     y = ops.linear_overlap_add([jnp.asarray(f.numpy()) for f in frames_t], 60)
     np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-5, rtol=1e-4)
+
+
+def test_stft_istft_win_shorter_than_nfft_torch_parity(rng):
+    """torch.stft/istft semantics for win_length < n_fft: frames are n_fft
+    long with a center-padded window (framing by win_length would shift
+    every frame by (n_fft-win)//2)."""
+    import torch
+
+    from wavtokenizer_tpu.ops.spectral import istft_center, istft_same, stft
+
+    n_fft, hop, win = 512, 128, 384
+    x = rng.normal(size=(2, 4096)).astype(np.float32)
+    wnp = np.hanning(win + 1)[:-1].astype(np.float32)  # periodic hann
+    wt = torch.hann_window(win)
+    np.testing.assert_allclose(wnp, wt.numpy(), atol=1e-6)
+
+    spec_ref = torch.stft(torch.from_numpy(x), n_fft, hop, win_length=win,
+                          window=wt, center=True, pad_mode="reflect",
+                          return_complex=True)
+    spec = stft(jnp.asarray(x), n_fft, hop, win_length=win, window=wnp,
+                center=True)
+    np.testing.assert_allclose(np.asarray(spec),
+                               spec_ref.transpose(1, 2).numpy(),
+                               atol=1e-3, rtol=1e-4)
+
+    y_ref = torch.istft(spec_ref, n_fft, hop, win_length=win, window=wt,
+                        center=True)
+    y = istft_center(jnp.real(spec), jnp.imag(spec), n_fft, hop,
+                     win_length=win)
+    L = min(y.shape[1], y_ref.shape[1])
+    np.testing.assert_allclose(np.asarray(y)[:, :L], y_ref.numpy()[:, :L],
+                               atol=1e-4, rtol=1e-4)
+
+    # the reference's "same" ISTFT only defines win == n_fft; we refuse
+    # rather than invent semantics
+    try:
+        istft_same(jnp.real(spec), jnp.imag(spec), n_fft, hop, win_length=win)
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass

@@ -138,14 +138,8 @@ def conv_layer_norm(x: jnp.ndarray, weight: jnp.ndarray | None = None,
     last-axis LayerNorm — implemented correctly rather than replicating the
     bug.
     """
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    if weight is not None:
-        y = y * weight
-    if bias is not None:
-        y = y + bias
-    return y
+    from .vocos import layer_norm
+    return layer_norm(x, weight, bias, eps=eps)
 
 
 def mel_scaled_head_init_scale(sample_rate: int, out_dim: int) -> np.ndarray:

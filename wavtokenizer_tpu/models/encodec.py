@@ -8,9 +8,13 @@ segment=None = full-sequence), per-segment RMS normalization when
 EnCodec-style full resynthesis forward used by validation-time reference
 audio (experiment.py:464-474).
 
-Segmentation is host-side Python over jit-compiled per-frame functions
-(each distinct segment length compiles once; the final ragged segment pads
-to the full segment length and trims, keeping shapes static).
+Segmentation is host-side Python over jit-compiled per-frame functions.
+The final ragged segment is deliberately NOT padded: the reference encodes
+the shorter tail as-is (encoder/model.py:139-145) and zero-padding it
+would change the codes at the boundary ("same" conv padding sees the
+zeros), breaking exact parity.  The cost is one extra jit compile per
+distinct tail length — acceptable for the dormant segmented mode (shipped
+WavTokenizer configs run full-sequence).
 """
 
 from __future__ import annotations

@@ -88,15 +88,22 @@ def init_lm(cfg: LMConfig, seed: int = 0):
 
 
 def _layer_norm(x, p, eps=1e-5):
-    mu = x.mean(-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["weight"] + p["bias"]
+    """torch nn.LayerNorm semantics (default eps 1e-5 — the transformer
+    layers' value; the ConvNeXt stack uses 1e-6 via models.vocos)."""
+    from .vocos import layer_norm
+    return layer_norm(x, p["weight"], p["bias"], eps=eps)
 
 
-def _streaming_attention(p, x, x_past, past_context, num_heads):
+def _streaming_attention(p, x, x_past, past_context, num_heads, offset):
     """Self-attention over [past, current] with the reference's validity mask
     (ref: transformer.py:44-59): key position within `past_context` behind the
-    query and not in the future."""
+    query and not in the future.
+
+    ``x_past`` is a FIXED-length (B, past_context, D) rolling buffer; slots
+    holding pre-history padding are masked out via their absolute position
+    (offset - past_context + j < 0), so shapes stay static under jit from
+    the first streamed frame (the torch reference instead grows a python
+    list per call, transformer.py:103-120)."""
     B, T, D = x.shape
     H_len = x_past.shape[1]
     qkv_w = p["in_proj"]["weight"]
@@ -112,10 +119,16 @@ def _streaming_attention(p, x, x_past, past_context, num_heads):
     k = k.reshape(B, T + H_len, H, D // H)
     v = v.reshape(B, T + H_len, H, D // H)
 
-    q_pos = jnp.arange(H_len, T + H_len).reshape(-1, 1)
-    k_pos = jnp.arange(T + H_len).reshape(1, -1)
+    # Absolute positions: past slot j = offset - H_len + j, current t =
+    # offset + t.  The reference's initial state is ONE zero timestep that
+    # its relative mask treats as a real (attended) token
+    # (transformer.py:105 zeros_like(x[:, :1]) + :52-59) — it behaves as a
+    # token at absolute position -1 until `past_context` tokens age it out.
+    # Slots below -1 are our pre-history padding and must stay masked.
+    q_pos = offset + jnp.arange(T).reshape(-1, 1)
+    k_pos = (offset - H_len) + jnp.arange(T + H_len).reshape(1, -1)
     delta = q_pos - k_pos
-    valid = (delta >= 0) & (delta <= past_context)
+    valid = (delta >= 0) & (delta <= past_context) & (k_pos >= -1)
 
     w = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(D // H)
     w = jnp.where(valid[None, None], w, -jnp.inf)
@@ -132,19 +145,29 @@ def streaming_transformer(params: dict, cfg: StreamingTransformerConfig,
     norm_first=False): LN(x + attn), LN(x + ff)."""
     B, T, C = x.shape
     if states is None:
-        states = [jnp.zeros((B, 1, C), x.dtype) for _ in params["layers"]]
+        # fixed-size rolling buffers (pre-history = zeros, masked out by
+        # absolute position in _streaming_attention) — shapes are static
+        # across every streamed call, so the per-frame entropy-coding loop
+        # compiles exactly once
+        states = [jnp.zeros((B, cfg.past_context, C), x.dtype)
+                  for _ in params["layers"]]
     positions = (jnp.arange(T).reshape(1, -1, 1) + offset).astype(x.dtype)
     pos_emb = create_sin_embedding(positions, C, cfg.max_period)
     if "norm_in" in params:
         x = _layer_norm(x, params["norm_in"])
     x = x + pos_emb
 
-    act = jax.nn.gelu if cfg.gelu else jax.nn.relu
+    # F.gelu in the reference (transformer.py:86) is the exact erf form —
+    # jax.nn.gelu defaults to the tanh approximation, which would skew the
+    # entropy coder's quantized CDFs off the reference's
+    act = ((lambda v: jax.nn.gelu(v, approximate=False)) if cfg.gelu
+           else jax.nn.relu)
     new_states = []
     for lp, st in zip(params["layers"], states):
         sa_in = x
         x = _layer_norm(x + _streaming_attention(lp, x, st, cfg.past_context,
-                                                 cfg.num_heads), lp["ln1"])
+                                                 cfg.num_heads, offset),
+                        lp["ln1"])
         ff = act(x @ lp["ff1"]["weight"] + lp["ff1"]["bias"])
         ff = ff @ lp["ff2"]["weight"] + lp["ff2"]["bias"]
         x = _layer_norm(x + ff, lp["ln2"])

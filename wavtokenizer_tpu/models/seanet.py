@@ -196,7 +196,15 @@ def _apply_layer(p, spec: LayerSpec, x: jnp.ndarray,
     if spec.kind == "resblock":
         return _apply_resblock(p, spec, x)
     if spec.kind == "lstm":
-        return slstm(x, p["layers"], skip=True)
+        # Pin the recurrent matmuls to bf16x3 (Precision.HIGH): at DEFAULT
+        # the TPU LSTM diverges from CPU f32 by up to ~6e-4 relative on the
+        # encoder embedding — enough to threaten the bit-exact-codes
+        # invariant near codebook Voronoi boundaries.  Measured on v5e at
+        # (128, 225, 512): DEFAULT 4.3 ms / HIGH 6.6 ms / HIGHEST 10.7 ms,
+        # with HIGH within 8e-7 of HIGHEST (~55x tighter than DEFAULT) —
+        # ~3% of headline throughput buys back the invariant's margin.
+        return slstm(x, p["layers"], skip=True,
+                     precision=jax.lax.Precision.HIGH)
     if spec.kind == "elu":
         return jax.nn.elu(x)
     if spec.kind == "final_act":

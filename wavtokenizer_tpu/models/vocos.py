@@ -87,14 +87,21 @@ def _swish(x):
     return x * jax.nn.sigmoid(x)
 
 
-def pos_resnet_block(p: dict, x: jnp.ndarray, groups: int) -> jnp.ndarray:
-    """GroupNorm -> swish -> conv(k3) -> GroupNorm -> swish -> conv(k3) + res
-    (ref: decoder/models.py:19-78; dropout is identity at inference)."""
+def pos_resnet_block(p: dict, x: jnp.ndarray, groups: int,
+                     dropout_rng=None, dropout_rate: float = 0.0) -> jnp.ndarray:
+    """GroupNorm -> swish -> conv(k3) -> GroupNorm -> swish -> [dropout] ->
+    conv(k3) + res (ref: decoder/models.py:19-78; the reference trains with
+    Dropout(0.1) between the second swish and conv2, models.py:66-70,200 —
+    identity at inference / when no rng is passed)."""
     h = group_norm(x, p["norm1"]["weight"], p["norm1"]["bias"], groups)
     h = _swish(h)
     h = conv1d(h, p["conv1"]["kernel"], p["conv1"]["bias"], padding=(1, 1))
     h = group_norm(h, p["norm2"]["weight"], p["norm2"]["bias"], groups)
     h = _swish(h)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        keep = 1.0 - dropout_rate
+        mask = jax.random.bernoulli(dropout_rng, keep, h.shape)
+        h = jnp.where(mask, h / keep, 0.0)
     h = conv1d(h, p["conv2"]["kernel"], p["conv2"]["bias"], padding=(1, 1))
     return x + h
 
@@ -164,7 +171,8 @@ def convnext_block(p: dict, x: jnp.ndarray, cond_id=None,
 
 def vocos_backbone(params: dict, cfg: VocosBackboneConfig, x: jnp.ndarray,
                    bandwidth_id=None, fused: bool | None = None,
-                   remat: bool = False) -> jnp.ndarray:
+                   remat: bool = False, dropout_rng=None,
+                   dropout_rate: float = 0.0) -> jnp.ndarray:
     """x: (B, T, input_channels) features -> (B, T, dim) hidden.
 
     Mirrors VocosBackbone.forward (ref: decoder/models.py:223-235):
@@ -173,20 +181,29 @@ def vocos_backbone(params: dict, cfg: VocosBackboneConfig, x: jnp.ndarray,
 
     ``remat=True`` checkpoints each pos-net / ConvNeXt block for the
     training backward pass (see apply_seanet); inference never sets it.
+    ``dropout_rng``/``dropout_rate`` enable the reference's training-time
+    Dropout(0.1) inside the pos-net resblocks (models.py:200).
     """
     g = cfg.groupnorm_groups
 
     def ckpt(fn, *args):
         return jax.checkpoint(fn)(*args) if remat else fn(*args)
 
+    dkeys = (jax.random.split(dropout_rng, 4) if dropout_rng is not None
+             else [None] * 4)
+
+    def res(p, x, key):
+        return pos_resnet_block(p, x, g, dropout_rng=key,
+                                dropout_rate=dropout_rate)
+
     x = conv1d(x, params["embed"]["kernel"], params["embed"]["bias"],
                padding=(3, 3))
     pos = params["pos_net"]
-    x = ckpt(lambda p, x: pos_resnet_block(p, x, g), pos[0], x)
-    x = ckpt(lambda p, x: pos_resnet_block(p, x, g), pos[1], x)
+    x = ckpt(lambda p, x: res(p, x, dkeys[0]), pos[0], x)
+    x = ckpt(lambda p, x: res(p, x, dkeys[1]), pos[1], x)
     x = ckpt(lambda p, x: attn_block(p, x, g), pos[2], x)
-    x = ckpt(lambda p, x: pos_resnet_block(p, x, g), pos[3], x)
-    x = ckpt(lambda p, x: pos_resnet_block(p, x, g), pos[4], x)
+    x = ckpt(lambda p, x: res(p, x, dkeys[2]), pos[3], x)
+    x = ckpt(lambda p, x: res(p, x, dkeys[3]), pos[4], x)
     x = group_norm(x, pos[5]["weight"], pos[5]["bias"], g)
 
     if cfg.adanorm_num_embeddings:

@@ -82,12 +82,20 @@ def _iswdft_matrix(n_fft: int, win_length: int) -> np.ndarray:
 @lru_cache(maxsize=32)
 def _window_envelope_np(n_fft: int, hop_length: int, win_length: int,
                         T: int, pad: int) -> np.ndarray:
-    """Precompute the squared-window OLA envelope on host (static shapes)."""
-    w2 = hann_window(win_length).astype(np.float64) ** 2
-    out_len = (T - 1) * hop_length + win_length
+    """Precompute the squared-window OLA envelope on host (static shapes).
+
+    Frames are n_fft long (irfft output); a win_length < n_fft window is
+    center-padded into the frame (torch.istft semantics), so the envelope
+    lives on the n_fft grid."""
+    w = hann_window(win_length).astype(np.float64)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        w = np.pad(w, (lpad, n_fft - win_length - lpad))
+    w2 = w ** 2
+    out_len = (T - 1) * hop_length + n_fft
     env = np.zeros(out_len, dtype=np.float64)
     for t in range(T):
-        env[t * hop_length:t * hop_length + win_length] += w2
+        env[t * hop_length:t * hop_length + n_fft] += w2
     env = env[pad:out_len - pad]
     assert (env > 1e-11).all(), "NOLA check failed"
     return env.astype(np.float32)
@@ -112,6 +120,14 @@ def istft_same(spec_real: jnp.ndarray, spec_imag: jnp.ndarray, n_fft: int,
     """
     if win_length is None:
         win_length = n_fft
+    # The reference ISTFT multiplies n_fft-long irfft frames by an UNPADDED
+    # hann(win_length) buffer (spectral_ops.py:30-59) — it only works when
+    # win_length == n_fft, which every shipped config satisfies.  Keep the
+    # same constraint explicit here rather than inventing semantics the
+    # reference doesn't have (istft_center generalizes properly).
+    if win_length != n_fft:
+        raise NotImplementedError(
+            "istft_same requires win_length == n_fft (reference constraint)")
     pad = (win_length - hop_length) // 2
     return _istft_impl(spec_real, spec_imag, n_fft, hop_length, win_length,
                        pad, method)
@@ -158,7 +174,7 @@ def _istft_impl(spec_real: jnp.ndarray, spec_imag: jnp.ndarray, n_fft: int,
         ifft = (ifft * jnp.asarray(window)).astype(spec_real.dtype)
 
     y = overlap_add(ifft, hop_length)
-    out_len = (T - 1) * hop_length + win_length
+    out_len = (T - 1) * hop_length + n_fft   # frames are n_fft long
     y = y[:, pad:out_len - pad]
 
     env = jnp.asarray(_window_envelope_np(n_fft, hop_length, win_length, T, pad))
@@ -193,15 +209,22 @@ def stft_frames(x: jnp.ndarray, n_fft: int, hop_length: int,
 def stft(x: jnp.ndarray, n_fft: int, hop_length: int,
          win_length: int | None = None, window: np.ndarray | None = None,
          center: bool = True, pad_mode: str = "reflect") -> jnp.ndarray:
-    """Complex STFT of (B, L) -> (B, T, n_fft//2+1). torch.stft-compatible."""
+    """Complex STFT of (B, L) -> (B, T, n_fft//2+1). torch.stft-compatible.
+
+    torch.stft with win_length < n_fft takes n_fft-long frames and
+    multiplies by the CENTER-PADDED window (each frame's windowed content
+    starts at t*hop + (n_fft-win)//2) — framing by win_length and
+    zero-padding afterwards would time-shift every frame by that offset.
+    """
     if win_length is None:
         win_length = n_fft
     if window is None:
         window = hann_window(win_length)
-    frames = stft_frames(x, n_fft, hop_length, win_length, window, center, pad_mode)
+    window = np.asarray(window, np.float32)
     if win_length < n_fft:
         lpad = (n_fft - win_length) // 2
-        frames = jnp.pad(frames, ((0, 0), (0, 0), (lpad, n_fft - win_length - lpad)))
+        window = np.pad(window, (lpad, n_fft - win_length - lpad))
+    frames = stft_frames(x, n_fft, hop_length, n_fft, window, center, pad_mode)
     return jnp.fft.rfft(frames, n=n_fft, axis=-1)
 
 

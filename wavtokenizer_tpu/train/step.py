@@ -61,6 +61,9 @@ class TrainConfig:
     # 16 GB v5e — batch 24 is the measured single-chip maximum; the 8-way
     # dp configs run ~5/chip and are nowhere near the limit).
     remat: bool = True
+    # Training-time dropout inside the backbone pos-net resblocks
+    # (the reference trains with 0.1, decoder/models.py:200).
+    pos_dropout: float = 0.1
 
 
 def cosine_schedule_with_warmup(base_lr: float, num_warmup_steps: int,
@@ -114,20 +117,24 @@ def create_train_state(spec: WavTokenizerSpec, tcfg: TrainConfig,
 
 def generator_forward(gen: dict, vq: dict, spec: WavTokenizerSpec,
                       audio: jnp.ndarray, bandwidth_id, key, n_q: int,
-                      remat: bool = False):
+                      remat: bool = False, dropout_rng=None,
+                      dropout_rate: float = 0.0):
     """Training forward: encoder -> VQ(train) -> backbone -> head
     (ref: experiment.py:114-119 via feature_extractors.py:105-119).
 
     ``remat`` checkpoints every encoder/backbone block so the GAN backward
     recomputes activations instead of holding them: the batch-40 x 3 s step
     drops from ~20.6 GB of HBM temps to ~16.9 GB (layout padding keeps the
-    floor above a 16 GB v5e at batch 40; batch 24 fits — see TrainConfig)."""
+    floor above a 16 GB v5e at batch 40; batch 24 fits — see TrainConfig).
+    ``dropout_rng`` enables the reference's pos-net Dropout(0.1) during
+    training (decoder/models.py:200); validation passes None."""
     enc = fold_tree(gen["encoder"])
     emb = seanet_encode(enc, spec.seanet, audio[:, :, None], remat=remat)
     quantized, codes, commit, new_vq = vq_train_forward(vq, spec.vq, emb, key,
                                                         n_q=n_q)
     h = vocos_backbone(gen["backbone"], spec.backbone, quantized, fused=False,
-                       bandwidth_id=bandwidth_id, remat=remat)
+                       bandwidth_id=bandwidth_id, remat=remat,
+                       dropout_rng=dropout_rng, dropout_rate=dropout_rate)
     audio_hat = istft_head(gen["head"], spec.head, h)
     return audio_hat, commit, new_vq
 
@@ -156,10 +163,12 @@ def _disc_loss_fn(disc, audio_hat, audio, bandwidth_id, mrd_coeff,
 
 
 def _gen_loss_fn(gen, disc, vq, spec, audio, bandwidth_id, key, n_q,
-                 mel_coeff, mrd_coeff, train_discriminator, remat=False):
+                 mel_coeff, mrd_coeff, train_discriminator, remat=False,
+                 dropout_rng=None, dropout_rate=0.0):
     """ref: experiment.py:151-218."""
     audio_hat, commit_loss, new_vq = generator_forward(
-        gen, vq, spec, audio, bandwidth_id, key, n_q, remat=remat)
+        gen, vq, spec, audio, bandwidth_id, key, n_q, remat=remat,
+        dropout_rng=dropout_rng, dropout_rate=dropout_rate)
     l_mel = mel_loss(audio_hat, audio, spec.sample_rate)
     metrics = {"mel_loss": l_mel, "commit_loss": commit_loss}
     loss = mel_coeff * l_mel + 1000.0 * commit_loss
@@ -195,7 +204,7 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
     audio: (B, T) 24 kHz crops.  Returns (new_state, metrics dict).
     """
     opt_disc_tx, opt_gen_tx = make_optimizers(tcfg)
-    k_bw, k_vq1, k_vq2 = jax.random.split(key, 3)
+    k_bw, k_vq1, k_vq2, k_drop1, k_drop2 = jax.random.split(key, 5)
     bandwidth_id = jax.random.randint(k_bw, (), 0, tcfg.num_bandwidths)
 
     metrics = {}
@@ -205,7 +214,8 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
     if train_discriminator:
         # --- discriminator phase (no grads through the generator) --------
         audio_hat_d, _, vq = generator_forward(
-            state["gen"], vq, spec, audio, bandwidth_id, k_vq1, n_q)
+            state["gen"], vq, spec, audio, bandwidth_id, k_vq1, n_q,
+            dropout_rng=k_drop1, dropout_rate=tcfg.pos_dropout)
         audio_hat_d = jax.lax.stop_gradient(audio_hat_d)
         vq = jax.lax.stop_gradient(vq)
 
@@ -225,7 +235,7 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
         _gen_loss_fn, has_aux=True)(state["gen"], disc, vq, spec, audio,
                                     bandwidth_id, k_vq2, n_q, mel_coeff,
                                     tcfg.mrd_loss_coeff, train_discriminator,
-                                    tcfg.remat)
+                                    tcfg.remat, k_drop2, tcfg.pos_dropout)
     g_updates, new_opt_gen = opt_gen_tx.update(g_grads, state["opt_gen"],
                                                state["gen"])
     gen = optax.apply_updates(state["gen"], g_updates)

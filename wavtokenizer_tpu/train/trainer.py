@@ -117,16 +117,30 @@ class Trainer:
         their evaluators are unavailable, i.e. the constants remain)."""
         losses = []
         key = jax.random.PRNGKey(self.seed + step)
+        spec = self.spec
+
+        # One jitted program for the whole eval forward: the eager version
+        # dispatched thousands of ops per batch (encoder + VQ + backbone +
+        # head one op at a time), stalling training for minutes per
+        # validation pass on slow hosts.
+        if not hasattr(self, "_val_step"):
+            @jax.jit
+            def _val_step(gen, vq, audio, key):
+                audio_hat, commit, _ = generator_forward(
+                    gen, vq, spec, audio, jnp.zeros((), jnp.int32), key,
+                    n_q=1)
+                return mel_loss(audio_hat, audio, spec.sample_rate), commit, \
+                    audio_hat
+            self._val_step = _val_step
+
         for i in range(self.limit_val_batches):
             try:
                 batch = next(val_iter)
             except StopIteration:
                 break
             audio = jnp.asarray(batch)
-            audio_hat, commit, _ = generator_forward(
-                state["gen"], state["vq"], self.spec, audio,
-                jnp.zeros((), jnp.int32), key, n_q=1)
-            m = mel_loss(audio_hat, audio, self.spec.sample_rate)
+            m, commit, audio_hat = self._val_step(state["gen"], state["vq"],
+                                                  audio, key)
             losses.append(float(m) + 5.0 + 5.0 + 1000.0 * float(commit))
             if i == 0:
                 # Audio + mel-spectrogram snapshots (ref: experiment.py:272-294)
