@@ -35,6 +35,16 @@ from concurrent.futures import Future
 from dataclasses import dataclass, field
 
 
+def _resolve(fut: Future, value) -> None:
+    """Deliver a result unless the caller already cancelled the future —
+    set_result on a cancelled Future raises InvalidStateError, which would
+    otherwise be fanned out as a failure to every OTHER request in the
+    same coalesced batch.  set_running_or_notify_cancel() is the race-free
+    gate: it fails for cancelled futures and blocks cancel() afterwards."""
+    if fut.set_running_or_notify_cancel():
+        fut.set_result(value)
+
+
 @dataclass
 class EngineConfig:
     batch_sizes: tuple = (1, 8, 32)     # per-bucket max batch, ascending
@@ -149,8 +159,13 @@ class ServingEngine:
             self._closed = True
             self._q.put(None)
         self._worker.join(timeout=30)
-        # Fail anything that raced in behind the sentinel rather than
-        # leaving its future to hang until the caller's timeout.
+        # Only drain once the worker is actually gone: if it is still busy
+        # (e.g. mid-cold-compile) the queue still holds ITS sentinel and
+        # pending work it will legitimately serve — draining now would both
+        # wrongly fail those requests and eat the sentinel, leaving the
+        # worker blocked on q.get() forever.
+        if self._worker.is_alive():
+            return
         while True:
             try:
                 item = self._q.get_nowait()
@@ -228,8 +243,11 @@ class ServingEngine:
             self._dispatch_inner(op, batch)
         except Exception as e:  # fan the failure out to every waiter
             for _, _, fut in batch:
-                if not fut.done():
-                    fut.set_exception(e)
+                try:
+                    if not fut.done():
+                        fut.set_exception(e)
+                except Exception:   # lost a cancel race; nothing to deliver
+                    pass
 
     def _dispatch_inner(self, op, batch) -> None:
         np = self._np
@@ -248,7 +266,7 @@ class ServingEngine:
             feats, codes = self._run_encode(x)
             for i, (_, _, fut) in enumerate(batch):
                 tp = math.ceil(lens[i] / self.hop)
-                fut.set_result((feats[i, :, :tp], codes[0, i, :tp]))
+                _resolve(fut, (feats[i, :, :tp], codes[0, i, :tp]))
         elif op == "decode":
             tps = [p.shape[-1] for p in payloads]
             Tp = self._bucket_frames(max(tps))
@@ -258,7 +276,7 @@ class ServingEngine:
                 x[i, :, :p.shape[-1]] = p
             wav = self._run_decode(x)
             for i, (_, _, fut) in enumerate(batch):
-                fut.set_result(wav[i, :tps[i] * self.hop])
+                _resolve(fut, wav[i, :tps[i] * self.hop])
         else:  # detokenize
             tps = [p.shape[-1] for p in payloads]
             Tp = self._bucket_frames(max(tps))
@@ -268,7 +286,7 @@ class ServingEngine:
                 x[i, :p.shape[-1]] = p
             wav = self._run_detok(x)
             for i, (_, _, fut) in enumerate(batch):
-                fut.set_result(wav[i, :tps[i] * self.hop])
+                _resolve(fut, wav[i, :tps[i] * self.hop])
 
     # ---- device calls (one compiled program per bucket shape) ----------
 

@@ -91,7 +91,14 @@ class WavTokenizer:
     @classmethod
     def from_pretrained0911(cls, config_path: str, model_folder_path: str) -> "WavTokenizer":
         """Average the 3 best checkpoints by val_loss parsed from the
-        filename (ref: decoder/pretrained.py:117-156)."""
+        filename (ref: decoder/pretrained.py:117-156).
+
+        Mirrors the reference's selection quirks deliberately: val_loss is
+        the raw filename substring [-11:-5] STRING-sorted (so '10.234'
+        sorts before '4.567'), and membership is by substring equality (a
+        duplicated loss string admits >3 files) — the released checkpoints
+        all have same-width sub-10 losses, where this matches numeric
+        intent."""
         spec = spec_from_config(config_path)
         names = [n for n in os.listdir(model_folder_path) if n.startswith("vocos_")]
         val_loss = sorted(n[-11:-5] for n in names)[:3]
@@ -112,10 +119,11 @@ class WavTokenizer:
     # ---------------------------------------------------------- API surface
 
     def encode_infer(self, audio_input, bandwidth_id=None):
-        """(B, T) audio -> (features (B, D, T'), codes (1, B, T'))."""
+        """(B, T) audio -> (features (B, D, T'), codes (1, B, T')).
+        1-D input is treated as a batch of one (outputs stay batched,
+        matching the reference's batched return shapes)."""
         audio = jnp.asarray(audio_input)
-        squeeze = audio.ndim == 1
-        if squeeze:
+        if audio.ndim == 1:
             audio = audio[None]
         fn = self._jitted("encode_infer",
                           lambda params, audio, spec: wt.encode_infer(params, spec, audio))

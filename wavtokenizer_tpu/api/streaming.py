@@ -84,11 +84,16 @@ def encode_infer_chunked(wt, audio, chunk_seconds: float = 3.0,
 
 def reconstruct_long(wt, audio, chunk_seconds: float = 3.0,
                      overlap: float = 0.25, bandwidth_id=0) -> jnp.ndarray:
-    """Long-form copy synthesis: chunk -> batch encode/decode -> cross-fade."""
+    """Long-form copy synthesis: chunk -> batch encode/decode -> cross-fade.
+
+    The decode of a chunk comes back at ceil(chunk/hop)*hop samples; the
+    trailing synthesis of the padded final frame is trimmed before the
+    cross-fade so chunk lengths that are not hop multiples don't blend
+    padding garbage into (and widen) the overlap regions."""
     sr = wt.spec.sample_rate
     chunk_samples = int(chunk_seconds * sr)
     chunks, stride, orig_len = chunk_audio(jnp.asarray(audio), chunk_samples,
                                            overlap)
     features, _ = wt.encode_infer(chunks, bandwidth_id=bandwidth_id)
-    decoded = wt.decode(features, bandwidth_id=bandwidth_id)  # (N, L)
-    return crossfade_join(decoded, stride, orig_len)
+    decoded = wt.decode(features, bandwidth_id=bandwidth_id)  # (N, L>=chunk)
+    return crossfade_join(decoded[:, :chunk_samples], stride, orig_len)

@@ -80,6 +80,8 @@ def stoi(ref: np.ndarray, deg: np.ndarray, sample_rate: int) -> float:
     N_FRAMES = 30  # 384 ms
     BETA = -15.0
 
+    if len(ref) < WIN:   # shorter than one frame: silent-frame removal
+        return float("nan")   # would crash on an empty energy array
     ref, deg = _remove_silent_frames(ref, deg)
     if len(ref) < WIN + HOP * (N_FRAMES - 1):
         return float("nan")

@@ -24,7 +24,11 @@ SR = 16000
 
 
 def frame_signal(x: np.ndarray, frame: int, hop: int) -> np.ndarray:
-    n = 1 + max(0, (len(x) - frame)) // hop
+    if len(x) < frame:
+        # shorter than one analysis window: zero-pad to a single frame
+        # (max(0, ...) alone would still index past the end of x)
+        x = np.pad(x, (0, frame - len(x)))
+    n = 1 + (len(x) - frame) // hop
     idx = np.arange(n)[:, None] * hop + np.arange(frame)[None, :]
     return x[idx]
 

@@ -131,7 +131,12 @@ def make_pairs(keys, materials=DEFAULT_MATERIALS,
     """The reference's two-phase pairing (byol_dataset.py:51-90):
     material<->material_clean by trailing utt number, then cross-material
     (later materials only) by utt number.  See ``group_by_speaker_material``
-    for the ``detect_clean`` quirk/fix switch."""
+    for the ``detect_clean`` quirk/fix switch.
+
+    Matching mirrors the reference's ``endswith(utt_num)``
+    (byol_dataset.py:68,86), which over-matches suffixes on datasets with
+    >999 utterances ('1001'.endswith('001')); kept for parity — with the
+    fork's zero-padded 3-digit numbering it is exact."""
     grouped = group_by_speaker_material(keys, detect_clean)
     pairs: list[tuple[str, str]] = []
     for spk in grouped:

@@ -80,6 +80,11 @@ class PairedAudioDataset:
         return noisy.astype(np.float32), clean.astype(np.float32)
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0):
+        # clamp rather than busy-loop: with fewer pairs than batch_size the
+        # range() below would be empty and `while True` would spin forever
+        batch_size = min(batch_size, len(self))
+        if batch_size == 0:
+            raise ValueError("empty paired dataset")
         rng = np.random.default_rng(seed)
         while True:
             order = rng.permutation(len(self)) if shuffle else np.arange(len(self))
@@ -95,11 +100,15 @@ class EnhanceConfig:
     learning_rate: float = 1e-4
     grad_clip: float = 1.0
     feature_scale: float | None = 1.5  # try3's features*1.5 -> tanh
-    normalize_inputs: bool = True      # try3 normalizes to zero-mean/unit-std
+    normalize_inputs: bool = True      # try3 peak-normalizes the noisy input
 
 
 def _normalize(x):
-    return (x - x.mean()) / (x.std() + 1e-6)
+    """Per-utterance peak normalization of (B, T) — the reference loads the
+    noisy input with ``wav / (wav.abs().max() + 1e-8)`` (try3.py:183) and
+    the clean target UN-normalized (try3.py:292-293)."""
+    peak = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    return x / (peak + 1e-8)
 
 
 @partial(jax.jit, static_argnames=("spec", "ecfg"))
@@ -109,8 +118,7 @@ def enhance_step(opt_state, adapter_params, adapter_state, decoder_params,
     """One enhancement training step.  Returns (opt_state, adapter_params,
     adapter_state, decoder_params, loss)."""
     if ecfg.normalize_inputs:
-        noisy = _normalize(noisy)
-        clean = _normalize(clean)
+        noisy = _normalize(noisy)   # target stays raw (try3.py:292-293)
 
     train_decoder = ecfg.mode == "waveform"
 
