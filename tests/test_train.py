@@ -298,3 +298,48 @@ def test_msstft_init_smoke():
     logits, fmaps = msstft_discriminator(params, jnp.zeros((1, 8192)))
     assert len(logits) == 3 and all(l.shape[-1] == 1 for l in logits)
     assert all(len(f) == 5 for f in fmaps)
+
+
+def test_remat_and_dropout_training_invariants():
+    """Rematerialization must not change training numerics (jax.checkpoint
+    is mathematically a no-op), and pos-net dropout must be keyed
+    deterministically and vanish at rate 0."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavtokenizer_tpu import (ISTFTHeadConfig, SEANetConfig, VQConfig,
+                                  VocosBackboneConfig, WavTokenizerSpec)
+    from wavtokenizer_tpu.train.step import (TrainConfig, create_train_state,
+                                             train_step)
+
+    spec = WavTokenizerSpec(
+        seanet=SEANetConfig(dimension=16, n_filters=2, ratios=(8, 5, 4, 2)),
+        vq=VQConfig(dimension=16, bins=32),
+        backbone=VocosBackboneConfig(input_channels=16, dim=32,
+                                     intermediate_dim=64, num_layers=1,
+                                     adanorm_num_embeddings=4),
+        head=ISTFTHeadConfig(dim=32, n_fft=1280, hop_length=320),
+    )
+    audio = jnp.asarray(np.random.default_rng(1)
+                        .normal(size=(2, 24000)).astype(np.float32) * 0.1)
+    key = jax.random.PRNGKey(7)
+
+    def run(tcfg):
+        state = create_train_state(spec, tcfg, seed=0)
+        _, metrics = train_step(state, audio, key, spec, tcfg)
+        return {k: float(v) for k, v in metrics.items()}
+
+    base = run(TrainConfig(remat=True, pos_dropout=0.0))
+
+    # remat off == remat on (bitwise-identical program semantics; allow
+    # tiny reassociation slack from differing fusion decisions)
+    no_remat = run(TrainConfig(remat=False, pos_dropout=0.0))
+    for k in base:
+        np.testing.assert_allclose(no_remat[k], base[k], rtol=2e-4,
+                                   atol=1e-5, err_msg=k)
+
+    # dropout changes the losses but is deterministic in the key
+    drop1 = run(TrainConfig(remat=True, pos_dropout=0.5))
+    drop2 = run(TrainConfig(remat=True, pos_dropout=0.5))
+    assert drop1 == drop2
+    assert any(abs(drop1[k] - base[k]) > 1e-6 for k in base)
