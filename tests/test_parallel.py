@@ -86,3 +86,90 @@ def test_sharded_bulk_extraction(setup):
     ref = fn(params, audio)
     out = fn(p, a)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@needs_8dev
+def test_tp_shards_optimizer_moments():
+    """shard_train_state must place the AdamW moments of the TP ConvNeXt
+    MLP weights over 'model' — not just the params — so tensor parallelism
+    actually saves optimizer memory (r1 weak #6: 'left to jit propagation'
+    kept them replicated)."""
+    from wavtokenizer_tpu.parallel.mesh import shard_train_state
+    from wavtokenizer_tpu.train.step import TrainConfig, create_train_state
+
+    mesh = make_mesh(8, model_parallel=2)
+    state = create_train_state(TINY, TrainConfig(), seed=0)
+    state = shard_train_state(mesh, state)
+
+    def pwconv1_sharding(tree):
+        return tree["backbone"]["convnext"][0]["pwconv1"]["weight"].sharding
+
+    # params sharded over 'model'
+    p_sh = pwconv1_sharding(state["gen"])
+    assert isinstance(p_sh, NamedSharding)
+    assert p_sh.spec == P(None, "model"), p_sh.spec
+    # find the AdamW moment subtrees inside opt_gen and assert the same
+    import jax.tree_util as jtu
+    gen_struct = jtu.tree_structure(state["gen"])
+    moments = []
+
+    def walk(node):
+        try:
+            if jtu.tree_structure(node) == gen_struct:
+                moments.append(node)
+                return
+        except Exception:
+            pass
+        if isinstance(node, tuple):
+            for c in node:
+                walk(c)
+        elif isinstance(node, list):
+            for c in node:
+                walk(c)
+        elif isinstance(node, dict):
+            for c in node.values():
+                walk(c)
+
+    walk(state["opt_gen"])
+    assert len(moments) >= 2, "expected AdamW mu and nu mirroring gen"
+    for m in moments:
+        m_sh = pwconv1_sharding(m)
+        assert m_sh.spec == P(None, "model"), m_sh.spec
+        assert not m_sh.is_fully_replicated
+    # discriminator state stays replicated
+    d_leaf = jax.tree.leaves(state["disc"])[0]
+    assert d_leaf.sharding.is_fully_replicated
+
+
+@needs_8dev
+def test_tp_train_step_matches_dp():
+    """One full GAN train step on a 4(data)x2(model) mesh produces the same
+    losses (and equivalently updated params) as pure 8-way DP — TP is an
+    implementation detail of layout, not semantics."""
+    from wavtokenizer_tpu.parallel.mesh import shard_train_state
+    from wavtokenizer_tpu.train.step import (TrainConfig, create_train_state,
+                                             train_step)
+
+    tcfg = TrainConfig()
+    audio = jnp.asarray(
+        np.random.default_rng(3).normal(size=(8, 3200)).astype(np.float32)
+        * 0.3)
+    key = jax.random.PRNGKey(0)
+
+    results = {}
+    for name, mp in (("dp", 1), ("tp", 2)):
+        mesh = make_mesh(8, model_parallel=mp)
+        state = shard_train_state(mesh, create_train_state(TINY, tcfg, seed=0))
+        a = shard_batch(mesh, audio)
+        new_state, metrics = train_step(state, a, key, TINY, tcfg)
+        results[name] = (new_state, {k: float(v) for k, v in metrics.items()})
+
+    m_dp, m_tp = results["dp"][1], results["tp"][1]
+    for k in m_dp:
+        np.testing.assert_allclose(m_tp[k], m_dp[k], rtol=2e-3, atol=1e-4,
+                                   err_msg=k)
+    w_dp = np.asarray(results["dp"][0]["gen"]["backbone"]["convnext"][0]
+                      ["pwconv1"]["weight"])
+    w_tp = np.asarray(results["tp"][0]["gen"]["backbone"]["convnext"][0]
+                      ["pwconv1"]["weight"])
+    np.testing.assert_allclose(w_tp, w_dp, atol=5e-5)

@@ -65,13 +65,11 @@ def _convnext_block_sharding(mesh: Mesh, block: dict) -> dict:
     return out
 
 
-def shard_generator_params(mesh: Mesh, params: dict):
-    """Place generator params: ConvNeXt MLPs tensor-sharded over 'model',
-    everything else replicated.  Works for both the inference pytree
-    (backbone at params['backbone']) and the training gen pytree."""
-    def place(tree, shardings):
-        return jax.tree.map(jax.device_put, tree, shardings)
-
+def generator_shardings(mesh: Mesh, params: dict):
+    """Sharding tree (same structure as ``params``): ConvNeXt MLPs
+    tensor-sharded over 'model', everything else replicated.  Works for
+    both the inference pytree (backbone at params['backbone']) and the
+    training gen pytree."""
     shardings = jax.tree.map(lambda x: NamedSharding(mesh, P()), params)
     bb = params.get("backbone", params)
     bb_shard = jax.tree.map(lambda x: NamedSharding(mesh, P()), bb)
@@ -83,19 +81,55 @@ def shard_generator_params(mesh: Mesh, params: dict):
         shardings["backbone"] = bb_shard
     else:
         shardings = bb_shard
-    return place(params, shardings)
+    return shardings
+
+
+def shard_generator_params(mesh: Mesh, params: dict):
+    """Place generator params per :func:`generator_shardings`."""
+    return jax.tree.map(jax.device_put, params,
+                        generator_shardings(mesh, params))
+
+
+def _reshard_subtrees_like(opt_state, ref_struct, ref_shardings):
+    """Re-place every sub-pytree of an optax state whose STRUCTURE equals
+    the reference tree's (AdamW's mu/nu mirror the param tree exactly)
+    with the reference shardings; leave everything else (counts, clip
+    state) untouched."""
+    from jax.tree_util import tree_structure
+
+    def rec(node):
+        try:
+            if tree_structure(node) == ref_struct:
+                return jax.tree.map(jax.device_put, node, ref_shardings)
+        except Exception:
+            pass
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(*[rec(c) for c in node])
+        if isinstance(node, tuple):
+            return tuple(rec(c) for c in node)
+        if isinstance(node, list):
+            return [rec(c) for c in node]
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        return node
+
+    return rec(opt_state)
 
 
 def shard_train_state(mesh: Mesh, state: dict):
     """Training-state placement: replicated except the tensor-parallel
-    ConvNeXt MLP weights (mirrored inside the optimizer state by sharding
-    the whole state with the same tree transform where shapes line up)."""
-    # Replicate everything first (correct, if not maximally sharded), then
-    # re-place the generator with TP annotations.  Optimizer moments follow
-    # the same sharding as their params through jit propagation.
+    ConvNeXt MLP weights — applied to the generator params AND to the AdamW
+    moments that mirror them (opt_gen's mu/nu), so TP genuinely shards
+    optimizer memory instead of replicating it (r1 left the moments 'to
+    jit propagation', which keeps committed inputs replicated)."""
+    from jax.tree_util import tree_structure
+
     state = replicate(mesh, state)
     state = dict(state)
-    state["gen"] = dict(state["gen"])
-    state["gen"]["backbone"] = shard_generator_params(
-        mesh, state["gen"]["backbone"])
+    gen_shardings = generator_shardings(mesh, state["gen"])
+    state["gen"] = jax.tree.map(jax.device_put, state["gen"], gen_shardings)
+    if "opt_gen" in state:
+        # AdamW's mu/nu are sub-pytrees with exactly the gen structure
+        state["opt_gen"] = _reshard_subtrees_like(
+            state["opt_gen"], tree_structure(state["gen"]), gen_shardings)
     return state
