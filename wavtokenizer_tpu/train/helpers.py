@@ -63,6 +63,14 @@ class TBLogger:
             if isinstance(v, (int, float, np.floating, np.integer)):
                 self._w.add_scalar(k, float(v), step)
 
+    def audio(self, tag: str, audio: np.ndarray, sample_rate: int,
+              step: int) -> None:
+        """Audio-only snapshot (ref: experiment.py:469-473 `add_audio`)."""
+        if self._w is None:
+            return
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        self._w.add_audio(tag, audio, step, sample_rate=sample_rate)
+
     def audio_and_spectrogram(self, tag: str, audio: np.ndarray,
                               sample_rate: int, step: int) -> None:
         """Audio clip + its mel spectrogram image

@@ -64,6 +64,14 @@ class TrainConfig:
     # Training-time dropout inside the backbone pos-net resblocks
     # (the reference trains with 0.1, decoder/models.py:200).
     pos_dropout: float = 0.1
+    # Validation-time objective evaluators (ref: configs/*.yaml
+    # model.init_args `evaluate_utmos/evaluate_pesq/evaluate_periodicty`;
+    # experiment.py:227-258).  The val_loss formula keeps its shape either
+    # way: a disabled or unavailable evaluator contributes score 0, so its
+    # (5 - score) term stays the constant 5 exactly like the reference.
+    evaluate_utmos: bool = True
+    evaluate_pesq: bool = True
+    evaluate_periodicity: bool = True
 
 
 def cosine_schedule_with_warmup(base_lr: float, num_warmup_steps: int,
