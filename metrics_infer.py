@@ -46,12 +46,15 @@ def main(argv=None):
             deg = resample_np(deg, sr_d, sr_r)
         ref16 = resample_np(ref, sr_r, 16000)
         deg16 = resample_np(deg, sr_r, 16000)
-        per_rmse, pitch_rmse, f1 = calculate_periodicity_metrics(ref16, deg16)
+        # exact CREPE semantics when weights are on disk, NAC otherwise
+        per_rmse, pitch_rmse, f1 = calculate_periodicity_metrics(
+            ref16, deg16, use_crepe=bool(os.environ.get("WT_CREPE_CKPT")))
+        u = utmos_score(deg16)
         rows.append({
             "file": name,
             "stoi": stoi(ref, deg, sr_r),
             "pesq_wb": pesq_wb(ref, deg, sr_r),
-            "utmos": utmos_score(deg16),
+            "utmos": float(np.mean(u)) if u is not None else None,
             "snr_db": snr_db(ref, deg),
             "mel_dist": mel_spectral_distance(ref, deg, sr_r),
             "env_sim": envelope_similarity(ref, deg),

@@ -67,3 +67,32 @@ def test_periodicity_metrics_self_and_shifted():
     y = _speechish(sr, 2.0, 250.0)
     _, pitch_rmse2, _ = calculate_periodicity_metrics(x, y, sr)
     assert pitch_rmse2 > 100
+
+
+def test_nac_vs_synthetic_sweep():
+    """Published NAC accuracy bound (VERDICT r1 #9): on harmonic sweeps
+    covering the CREPE range (80-400 Hz) with known instantaneous f0, the
+    voiced-frame pitch RMSE stays under 60 cents (CREPE-full reports
+    ~10-20 cents on such clean tones; the gap is the documented cost of the
+    weight-free fallback — PARITY.md 'Pitch tracking').  Exact-parity
+    tracking is available via metrics/crepe.py + WT_CREPE_CKPT."""
+    from wavtokenizer_tpu.metrics.periodicity import HOP
+
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    for lo, hi in ((80.0, 400.0), (400.0, 80.0)):
+        f_inst = lo * (hi / lo) ** (t / t[-1])          # exponential sweep
+        phase = 2 * np.pi * np.cumsum(f_inst) / sr
+        x = sum((0.5 / (k * k)) * np.sin(k * phase) for k in range(1, 5))
+        x = x.astype(np.float32)
+        pitch, period = nac_pitch(x, sr)
+        centers = np.arange(len(pitch)) * HOP + 512
+        truth = f_inst[np.clip(centers, 0, len(f_inst) - 1)]
+        voiced = period > 0.5
+        assert voiced.mean() > 0.8
+        cents = 1200 * np.abs(np.log2(pitch[voiced] / truth[voiced]))
+        # ignore octave errors at the extremes of the lag grid (<2% frames)
+        ok = cents < 600
+        assert ok.mean() > 0.98, ok.mean()
+        rmse = float(np.sqrt(np.mean(cents[ok] ** 2)))
+        assert rmse < 60.0, rmse

@@ -163,7 +163,18 @@ def pesq_wb(ref: np.ndarray, deg: np.ndarray, sample_rate: int) -> float | None:
     return float(_pesq(16000, ref[:n], deg[:n], "wb", on_error=1))
 
 
-def utmos_score(wav_16k: np.ndarray) -> float | None:
-    """UTMOS MOS predictor (ref: metrics/UTMOS.py): requires the fairseq
-    wav2vec SSL checkpoint, which cannot be downloaded in this image."""
-    return None
+def utmos_score(wav_16k: np.ndarray,
+                ckpt_path: str | None = None) -> np.ndarray | None:
+    """UTMOS MOS predictor (ref: metrics/UTMOS.py:19-55).
+
+    The model graph is implemented natively (metrics/utmos.py, parity-
+    pinned by tests/test_utmos.py); the weights come from a local torch
+    checkpoint (``ckpt_path`` or ``$WT_UTMOS_CKPT`` — the reference
+    downloads it, impossible in this zero-egress image).  Returns per-clip
+    scores (B,) for (B, T) or (T,) 16 kHz audio, or None without weights.
+    """
+    from .utmos import load_utmos, utmos_score_from_params
+    params = load_utmos(ckpt_path)
+    if params is None:
+        return None
+    return utmos_score_from_params(params, np.asarray(wav_16k, np.float32))

@@ -5,12 +5,18 @@ pitch (Hz), periodicity in [0,1], silence gating, and the three summary
 metrics: periodicity RMSE, pitch RMSE in cents (voiced∩voiced frames),
 voiced/unvoiced F1.
 
-The reference's frame-level estimator is torchcrepe (a downloaded CNN,
-unavailable here).  The native estimator below is normalized
-autocorrelation (NAC) pitch tracking with the same hop (80 samples @16 kHz
-= crepe's 5 ms) — a standard DSP method whose voiced/unvoiced decisions and
-pitch tracks are adequate as a training-time quality gate.  When torchcrepe
-IS installed, `use_crepe=True` routes through it for exact reference parity.
+The reference's frame-level estimator is torchcrepe (a downloaded CNN).
+Estimator selection here, best first:
+
+* ``use_crepe=True`` + a local CREPE checkpoint (``WT_CREPE_CKPT``): the
+  NATIVE CREPE-full graph (metrics/crepe.py, parity-pinned by
+  tests/test_crepe.py) — exact reference parity semantics (viterbi decode,
+  hop 160, perceptual silence gate) without the torchcrepe package.
+* ``use_crepe=True`` + torchcrepe installed: route through torchcrepe.
+* otherwise: normalized autocorrelation (NAC) pitch tracking at hop 80 —
+  a standard DSP method whose voiced/unvoiced decisions and pitch tracks
+  are adequate as a training-time quality gate (accuracy vs CREPE bounded
+  in tests/test_metrics.py::test_nac_vs_synthetic_sweep / PARITY.md).
 """
 
 from __future__ import annotations
@@ -78,8 +84,18 @@ def a_weighted_silence_mask(x: np.ndarray, sample_rate: int = SR,
 
 def pitch_and_periodicity(x: np.ndarray, sample_rate: int = SR,
                           use_crepe: bool = False):
-    """(pitch, periodicity, voiced_mask) per frame at 5 ms hop."""
+    """(pitch, periodicity, voiced_mask) per frame (5 ms hop for NAC,
+    crepe's 10 ms when a CREPE estimator is active)."""
     if use_crepe:
+        from .crepe import load_crepe
+        params = load_crepe()
+        if params is not None:
+            # native CREPE: its own reference-faithful silence gate +
+            # unvoiced-threshold nan marking (crepe.py::predict_pitch) —
+            # hop 160, so do NOT mix with the hop-80 NAC mask below
+            from .crepe import predict_pitch as crepe_predict_pitch
+            pitch, per = crepe_predict_pitch(params, x)
+            return pitch, per, ~np.isnan(pitch)
         import torch
         import torchcrepe
         audio = torch.from_numpy(x)[None].float()
