@@ -10,6 +10,13 @@ try3.py waveform loop / tsne.py feature loop / train_with_tsne.py hybrid):
               features (tsne.py:152-169)
     hybrid    0.7 voice-focused + 0.3 cosine feature loss
               (train_with_tsne.py:52-90)
+    byol      try.py:36-134 — the BYOL SimpleTransformer inserted between
+              the frozen encoder and the adapter; transformer + adapter +
+              decoder train on the voice-focused loss with try.py's
+              amplitude hacks.  --byol-ckpt loads transformer weights with
+              the reference's strict=False semantics (shape-matching
+              leaves only; the fork's actual BYOL checkpoints match
+              nothing and the transformer trains from init).
 
 Resume (resume_training.py equivalent) via --resume <ckpt-dir>.
 
@@ -39,8 +46,12 @@ def main(argv=None):
     ap.add_argument("--config", default=None)
     ap.add_argument("--checkpoint", default=None,
                     help="base WavTokenizer torch checkpoint (frozen encoder)")
-    ap.add_argument("--mode", choices=["waveform", "feature", "hybrid"],
+    ap.add_argument("--mode", choices=["waveform", "feature", "hybrid",
+                                       "byol"],
                     default="waveform")
+    ap.add_argument("--byol-ckpt", default=None,
+                    help="orbax checkpoint dir from byol_train.py (byol "
+                         "mode; partial strict=False-style load)")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--num-samples", type=int, default=72000)
@@ -78,16 +89,35 @@ def main(argv=None):
     ecfg = EnhanceConfig(mode=args.mode, learning_rate=args.learning_rate)
     adapter_params, adapter_state = init_adapter(seed=args.seed)
     decoder_params = base_params["decoder"]
-    opt_state = make_enhance_optimizer(adapter_params, decoder_params, ecfg)
+    transformer_params = None
+    if args.mode == "byol":
+        from wavtokenizer_tpu.research.adapter import (init_inpath_transformer,
+                                                       load_byol_transformer)
+        transformer_params = init_inpath_transformer(seed=args.seed)
+        if args.byol_ckpt:
+            import orbax.checkpoint as ocp
+            ck = ocp.StandardCheckpointer().restore(
+                os.path.abspath(args.byol_ckpt))
+            tree = ck.get("online", ck).get("encoder", ck) \
+                if isinstance(ck, dict) else ck
+            transformer_params, n = load_byol_transformer(transformer_params,
+                                                          tree)
+            print(f"byol ckpt: {n} shape-matching leaves loaded "
+                  "(strict=False semantics, try.py:101-104)")
+    opt_state = make_enhance_optimizer(adapter_params, decoder_params, ecfg,
+                                       transformer_params)
     start_step = 0
 
     os.makedirs(args.out_dir, exist_ok=True)
     if args.resume:
         tpl = {"adapter": adapter_params, "adapter_state": adapter_state,
                "decoder": decoder_params, "step": np.asarray(0)}
+        if transformer_params is not None:
+            tpl["transformer"] = transformer_params
         ck = load_checkpoint(args.resume, tpl)
         adapter_params, adapter_state = ck["adapter"], ck["adapter_state"]
         decoder_params = ck["decoder"]
+        transformer_params = ck.get("transformer", transformer_params)
         start_step = int(ck["step"])
         print(f"resumed from {args.resume} at step {start_step}")
 
@@ -103,9 +133,9 @@ def main(argv=None):
         for step in range(start_step, args.steps):
             noisy, clean = next(it)
             (opt_state, adapter_params, adapter_state, decoder_params,
-             loss) = enhance_step(opt_state, adapter_params, adapter_state,
-                                  decoder_params, base_params, noisy, clean,
-                                  spec, ecfg)
+             transformer_params, loss) = enhance_step(
+                opt_state, adapter_params, adapter_state, decoder_params,
+                base_params, noisy, clean, spec, ecfg, transformer_params)
             loss = float(loss)
             if step % 10 == 0:
                 rec = {"step": step, "loss": loss,
@@ -115,6 +145,8 @@ def main(argv=None):
                 logf.flush()
             ck = {"adapter": adapter_params, "adapter_state": adapter_state,
                   "decoder": decoder_params, "step": np.asarray(step + 1)}
+            if transformer_params is not None:
+                ck["transformer"] = transformer_params
             if loss < best:
                 best = loss
                 save_checkpoint(os.path.join(args.out_dir, "best_model"), ck)

@@ -110,11 +110,171 @@ def apply_adapter(params: dict, state: dict, x: jnp.ndarray, train: bool = False
     return h, new_state
 
 
+# ---------------------------------------------------------------------------
+# try.py variant: BYOL SimpleTransformer inserted between the frozen encoder
+# and the adapter (ref: try.py:36-134)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class InPathTransformerConfig:
+    """try.py:76 SimpleTransformer(512, 128, 128, 4, 2): d_model is the
+    ENCODER dim (hidden/projection args are unused by that class), torch
+    TransformerEncoderLayer defaults (ffn 2048, relu, post-LN), plus a
+    final per-frame Linear(512, 512)."""
+    dim: int = 512
+    num_heads: int = 4
+    num_layers: int = 2
+    ffn: int = 2048
+    ln_eps: float = 1e-5
+
+
+def _linear_default(rng, cin, cout):
+    bound = 1.0 / np.sqrt(cin)
+    return {"weight": rng.uniform(-bound, bound, (cin, cout)).astype(np.float32),
+            "bias": rng.uniform(-bound, bound, (cout,)).astype(np.float32)}
+
+
+def init_inpath_transformer(cfg: InPathTransformerConfig = InPathTransformerConfig(),
+                            seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed)
+    d = cfg.dim
+
+    def xavier(cin, cout):
+        bound = np.sqrt(6.0 / (cin + cout))
+        return rng.uniform(-bound, bound, (cin, cout)).astype(np.float32)
+
+    layers = []
+    for _ in range(cfg.num_layers):
+        layers.append({
+            # torch MultiheadAttention xavier-inits the packed in_proj
+            "q": {"weight": xavier(d, d), "bias": np.zeros(d, np.float32)},
+            "k": {"weight": xavier(d, d), "bias": np.zeros(d, np.float32)},
+            "v": {"weight": xavier(d, d), "bias": np.zeros(d, np.float32)},
+            "o": _linear_default(rng, d, d),
+            "ln1": {"weight": np.ones(d, np.float32),
+                    "bias": np.zeros(d, np.float32)},
+            "ff1": _linear_default(rng, d, cfg.ffn),
+            "ff2": _linear_default(rng, cfg.ffn, d),
+            "ln2": {"weight": np.ones(d, np.float32),
+                    "bias": np.zeros(d, np.float32)},
+        })
+    return {"layers": layers, "fc": _linear_default(rng, d, d)}
+
+
+def inpath_transformer(params: dict, x: jnp.ndarray,
+                       cfg: InPathTransformerConfig = InPathTransformerConfig()):
+    """Per-frame (B, T, 512) -> (B, T, 512) (try.py:45-53: transformer over
+    the time axis, then fc, keeping the time dimension)."""
+    from .byol import _layer_norm, _mha
+
+    h = x
+    for lp in params["layers"]:
+        h = _layer_norm(h + _mha(lp, h, cfg.num_heads), lp["ln1"], cfg.ln_eps)
+        ff = jax.nn.relu(h @ lp["ff1"]["weight"] + lp["ff1"]["bias"])
+        ff = ff @ lp["ff2"]["weight"] + lp["ff2"]["bias"]
+        h = _layer_norm(h + ff, lp["ln2"], cfg.ln_eps)
+    return h @ params["fc"]["weight"] + params["fc"]["bias"]
+
+
+def load_byol_transformer(params: dict, ckpt_tree: dict) -> tuple[dict, int]:
+    """try.py:101-104 semantics: ``load_state_dict(ckpt, strict=False)`` —
+    copy exactly the leaves whose path+shape match, silently keep the rest.
+    (With the fork's actual BYOL checkpoints NOTHING matches — tr_byol's
+    SimpleTransformer has d_model 128 vs 512 here — so the in-path
+    transformer stays at init; the quirk is preserved deliberately.)
+    Returns (params, number_of_leaves_loaded)."""
+    loaded = [0]
+
+    def merge(dst, src):
+        if isinstance(dst, dict) and isinstance(src, dict):
+            return {k: merge(v, src[k]) if k in src else v
+                    for k, v in dst.items()}
+        if isinstance(dst, list) and isinstance(src, (list, tuple)):
+            return [merge(d, s) for d, s in zip(dst, src)] + dst[len(src):]
+        if hasattr(dst, "shape") and hasattr(src, "shape") \
+                and tuple(dst.shape) == tuple(src.shape):
+            loaded[0] += 1
+            return np.asarray(src, np.float32)
+        return dst
+
+    return merge(params, ckpt_tree), loaded[0]
+
+
+def inpath_transformer_from_torch(sd: dict,
+                                  cfg: InPathTransformerConfig = InPathTransformerConfig()) -> dict:
+    """try.py SimpleTransformer state dict -> our pytree (packed
+    in_proj_weight split into q/k/v, weights transposed to (in, out))."""
+    def a(k):
+        v = sd[k]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v, np.float32)
+
+    d = cfg.dim
+    layers = []
+    for i in range(cfg.num_layers):
+        pre = f"transformer.layers.{i}."
+        in_w, in_b = a(pre + "self_attn.in_proj_weight"), \
+            a(pre + "self_attn.in_proj_bias")
+        qw, kw, vw = in_w[:d], in_w[d:2 * d], in_w[2 * d:]
+        qb, kb, vb = in_b[:d], in_b[d:2 * d], in_b[2 * d:]
+        layers.append({
+            "q": {"weight": qw.T, "bias": qb},
+            "k": {"weight": kw.T, "bias": kb},
+            "v": {"weight": vw.T, "bias": vb},
+            "o": {"weight": a(pre + "self_attn.out_proj.weight").T,
+                  "bias": a(pre + "self_attn.out_proj.bias")},
+            "ln1": {"weight": a(pre + "norm1.weight"),
+                    "bias": a(pre + "norm1.bias")},
+            "ff1": {"weight": a(pre + "linear1.weight").T,
+                    "bias": a(pre + "linear1.bias")},
+            "ff2": {"weight": a(pre + "linear2.weight").T,
+                    "bias": a(pre + "linear2.bias")},
+            "ln2": {"weight": a(pre + "norm2.weight"),
+                    "bias": a(pre + "norm2.bias")},
+        })
+    return {"layers": layers,
+            "fc": {"weight": a("fc.weight").T, "bias": a("fc.bias")}}
+
+
+def _ln_noaffine(x, eps=1e-5):
+    """torch F.layer_norm(x, [C]) over the channel axis, no affine."""
+    mu = x.mean(-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps)
+
+
+def try_enhancement_stack(transformer_params: dict, adapter_params: dict,
+                          adapter_state: dict, feats: jnp.ndarray,
+                          train: bool = False,
+                          transformer_cfg: InPathTransformerConfig = InPathTransformerConfig()):
+    """try.py:108-133 between encoder and decoder: amplitude boost +
+    no-affine channel LayerNorm -> SimpleTransformer -> adapter stack ->
+    relu*2.5 -> no-affine LayerNorm*3.  feats: (B, T', 512) channel-last.
+    Returns (enhanced, new_adapter_state)."""
+    x = jax.lax.stop_gradient(_ln_noaffine(feats * 3.0))
+    x = inpath_transformer(transformer_params, x, transformer_cfg)
+    enhanced, new_state = apply_adapter(adapter_params, adapter_state, x,
+                                        train=train)
+    # relu is already the adapter tail; *2.5 is then absorbed by the
+    # scale-invariant LayerNorm — kept for 1:1 readability with the ref
+    enhanced = _ln_noaffine(enhanced * 2.5) * 3.0
+    return enhanced, new_state
+
+
 def enhanced_forward(base_params: dict, seanet_cfg, adapter_params: dict,
                      adapter_state: dict, audio: jnp.ndarray,
-                     train: bool = False, feature_scale: float | None = None):
-    """Full enhancement path (try3.py:1038-1041 applies features*scale ->
-    tanh before decoding when feature_scale is set).
+                     train: bool = False, feature_scale: float | None = None,
+                     transformer_params: dict | None = None,
+                     transformer_cfg: InPathTransformerConfig = InPathTransformerConfig()):
+    """Full enhancement path.
+
+    Without ``transformer_params`` (try3.py:1038-1041): frozen encoder ->
+    adapter -> optional features*scale -> tanh -> decoder.
+
+    With ``transformer_params`` (try.py:108-134): frozen encoder ->
+    amplitude hacks (features*3, no-affine channel LayerNorm) -> BYOL
+    SimpleTransformer -> adapter -> relu*2.5 -> no-affine LayerNorm*3 ->
+    decoder (no tanh squash; try.py's EnhancedModel decodes raw).
 
     audio: (B, T) -> (audio_hat (B, T~), enhanced (B,T',512),
     input_features (B,T',512), new_adapter_state).
@@ -123,10 +283,16 @@ def enhanced_forward(base_params: dict, seanet_cfg, adapter_params: dict,
 
     feats = seanet_encode(base_params["encoder"], seanet_cfg, audio[:, :, None])
     feats = jax.lax.stop_gradient(feats)  # frozen encoder
-    enhanced, new_state = apply_adapter(adapter_params, adapter_state, feats,
-                                        train=train)
-    dec_in = enhanced
-    if feature_scale is not None:
-        dec_in = jnp.tanh(enhanced * feature_scale)
+    if transformer_params is not None:
+        enhanced, new_state = try_enhancement_stack(
+            transformer_params, adapter_params, adapter_state, feats,
+            train=train, transformer_cfg=transformer_cfg)
+        dec_in = enhanced  # try.py's EnhancedModel decodes raw (no tanh)
+    else:
+        enhanced, new_state = apply_adapter(adapter_params, adapter_state,
+                                            feats, train=train)
+        dec_in = enhanced
+        if feature_scale is not None:
+            dec_in = jnp.tanh(enhanced * feature_scale)
     out = seanet_decode(base_params["decoder"], seanet_cfg, dec_in)
     return out[:, :, 0], enhanced, feats, new_state

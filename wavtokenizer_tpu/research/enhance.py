@@ -1,6 +1,6 @@
-"""Enhancement trainers: the fork's try3 / tsne / train_with_tsne loops.
+"""Enhancement trainers: the fork's try3 / tsne / train_with_tsne / try loops.
 
-Three training regimes over the adapter stack (research.adapter):
+Four training regimes over the adapter stack (research.adapter):
 
 * ``waveform`` (try3.py): adapter + SEANet decoder trainable, voice-focused
   waveform loss against the clean target, features*1.5 -> tanh before
@@ -9,6 +9,8 @@ Three training regimes over the adapter stack (research.adapter):
   enhanced(noisy) and encoder(clean) features (tsne.py:152-169).
 * ``hybrid`` (train_with_tsne.py): 0.7 voice-focused + 0.3 cosine feature
   loss, adapter-only.
+* ``byol`` (try.py): the BYOL SimpleTransformer inserted between the frozen
+  encoder and the adapter, amplitude hacks, voice-focused loss.
 
 Plus the paired noisy/clean dataset (speaker_pairs.txt "noisy|clean" format
 from tools/prepare_data_lists.py, or directory pairs with filename
@@ -29,7 +31,8 @@ import optax
 from ..models.seanet import seanet_encode
 from ..models.wavtokenizer import WavTokenizerSpec
 from ..train.data import read_audio, resample_np, sox_norm
-from .adapter import AdapterConfig, apply_adapter, enhanced_forward, init_adapter
+from .adapter import (AdapterConfig, InPathTransformerConfig,
+                      apply_adapter, enhanced_forward, init_adapter)
 from .losses import (cosine_similarity_loss, feature_loss, hybrid_tsne_loss,
                      voice_focused_loss)
 
@@ -96,11 +99,22 @@ class PairedAudioDataset:
 
 @dataclass(frozen=True)
 class EnhanceConfig:
-    mode: str = "waveform"           # waveform | feature | hybrid
+    """mode:
+    * ``waveform`` — try3.py: adapter + decoder, voice-focused loss
+    * ``feature`` — tsne.py: adapter only, L2 feature loss
+    * ``hybrid`` — train_with_tsne.py: adapter only, 0.7 voice + 0.3 cosine
+    * ``byol`` — try.py:36-134: the BYOL SimpleTransformer inserted between
+      the frozen encoder and the adapter (transformer + adapter + decoder
+      all trainable, try.py:83 freeze_byol_transformer=False default),
+      voice-focused loss (try.py:1111), amplitude hacks instead of the
+      tanh feature squash.
+    """
+    mode: str = "waveform"           # waveform | feature | hybrid | byol
     learning_rate: float = 1e-4
     grad_clip: float = 1.0
     feature_scale: float | None = 1.5  # try3's features*1.5 -> tanh
     normalize_inputs: bool = True      # try3 peak-normalizes the noisy input
+    transformer_cfg: InPathTransformerConfig = InPathTransformerConfig()
 
 
 def _normalize(x):
@@ -114,13 +128,15 @@ def _normalize(x):
 @partial(jax.jit, static_argnames=("spec", "ecfg"))
 def enhance_step(opt_state, adapter_params, adapter_state, decoder_params,
                  base_params, noisy, clean, spec: WavTokenizerSpec,
-                 ecfg: EnhanceConfig):
+                 ecfg: EnhanceConfig, transformer_params=None):
     """One enhancement training step.  Returns (opt_state, adapter_params,
-    adapter_state, decoder_params, loss)."""
+    adapter_state, decoder_params, transformer_params, loss);
+    transformer_params is passed through as None outside ``byol`` mode."""
     if ecfg.normalize_inputs:
         noisy = _normalize(noisy)   # target stays raw (try3.py:292-293)
 
-    train_decoder = ecfg.mode == "waveform"
+    train_decoder = ecfg.mode in ("waveform", "byol")
+    use_tr = ecfg.mode == "byol" and transformer_params is not None
 
     def loss_fn(trainable):
         ap = trainable["adapter"]
@@ -128,8 +144,10 @@ def enhance_step(opt_state, adapter_params, adapter_state, decoder_params,
         bp = {"encoder": base_params["encoder"], "decoder": dp}
         out, enhanced, _, new_state = enhanced_forward(
             bp, spec.seanet, ap, adapter_state, noisy, train=True,
-            feature_scale=ecfg.feature_scale if ecfg.mode == "waveform" else None)
-        if ecfg.mode == "waveform":
+            feature_scale=ecfg.feature_scale if ecfg.mode == "waveform" else None,
+            transformer_params=trainable.get("transformer"),
+            transformer_cfg=ecfg.transformer_cfg)
+        if ecfg.mode in ("waveform", "byol"):
             loss = voice_focused_loss(out, clean)
         else:
             target = jax.lax.stop_gradient(
@@ -144,6 +162,8 @@ def enhance_step(opt_state, adapter_params, adapter_state, decoder_params,
     trainable = {"adapter": adapter_params}
     if train_decoder:
         trainable["decoder"] = decoder_params
+    if use_tr:
+        trainable["transformer"] = transformer_params
     (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
 
     tx = optax.chain(optax.clip_by_global_norm(ecfg.grad_clip),
@@ -151,14 +171,18 @@ def enhance_step(opt_state, adapter_params, adapter_state, decoder_params,
     updates, opt_state = tx.update(grads, opt_state, trainable)
     trainable = optax.apply_updates(trainable, updates)
     new_decoder = trainable.get("decoder", decoder_params)
-    return (opt_state, trainable["adapter"], new_state, new_decoder, loss)
+    new_tr = trainable.get("transformer", transformer_params)
+    return (opt_state, trainable["adapter"], new_state, new_decoder, new_tr,
+            loss)
 
 
 def make_enhance_optimizer(adapter_params, decoder_params,
-                           ecfg: EnhanceConfig):
+                           ecfg: EnhanceConfig, transformer_params=None):
     trainable = {"adapter": adapter_params}
-    if ecfg.mode == "waveform":
+    if ecfg.mode in ("waveform", "byol"):
         trainable["decoder"] = decoder_params
+    if ecfg.mode == "byol" and transformer_params is not None:
+        trainable["transformer"] = transformer_params
     tx = optax.chain(optax.clip_by_global_norm(ecfg.grad_clip),
                      optax.adam(ecfg.learning_rate))
     return tx.init(trainable)
