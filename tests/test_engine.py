@@ -223,3 +223,50 @@ def test_engine_oversized_request_does_not_poison_batch(rng):
             pass
         feats, codes = good.result(timeout=600)   # must NOT raise
         assert codes.shape[-1] == int(np.ceil(T / wt.spec.seanet.hop_length))
+
+
+def test_engine_submit_validates_shape_and_dtype(rng):
+    """Malformed payloads fail ONLY their own future, at submit time —
+    stereo (2, T) encode, decode with the wrong feature dim, float codes —
+    while a well-formed request coalesced around them still succeeds
+    (ADVICE r1 #1: ndim/dtype used to slip through to _dispatch_inner and
+    poison the whole batch)."""
+    wt = _small_wt()
+    cfg = EngineConfig(batch_sizes=(2,), clip_seconds=(0.5,), max_wait_ms=20.0)
+    T = int(0.5 * wt.spec.sample_rate)
+    D = wt.spec.backbone.input_channels
+
+    with ServingEngine(wt, cfg) as eng:
+        bad = [
+            eng.submit("encode", rng.normal(size=(2, T)).astype(np.float32)),
+            eng.submit("encode", np.zeros(T, np.int32)),
+            eng.submit("decode", np.zeros((D + 1, 10), np.float32)),
+            eng.submit("decode", np.zeros((10,), np.float32)),
+            eng.submit("detokenize", np.zeros(10, np.float32)),
+        ]
+        good = eng.submit("encode", rng.normal(size=T).astype(np.float32) * 0.1)
+        for fut in bad:
+            with np.testing.assert_raises(ValueError):
+                fut.result(timeout=60)
+        feats, codes = good.result(timeout=600)
+        assert feats.shape[0] == D
+
+
+def test_engine_blocking_helpers_honor_timeout(rng):
+    """encode()/decode()/detokenize() pass cfg.request_timeout_s (or the
+    per-call override) to Future.result so callers can't hang forever on a
+    wedged worker (ADVICE r1 #2)."""
+    import concurrent.futures
+
+    wt = _small_wt()
+    cfg = EngineConfig(batch_sizes=(2,), clip_seconds=(0.5,),
+                       request_timeout_s=0.05)
+    T = int(0.5 * wt.spec.sample_rate)
+    with ServingEngine(wt, cfg) as eng:
+        # stand in for a wedged worker: a future that never resolves
+        eng.submit = lambda op, payload: cf.Future()
+        with np.testing.assert_raises(concurrent.futures.TimeoutError):
+            eng.encode(np.zeros(T, np.float32))        # cfg default timeout
+        with np.testing.assert_raises(concurrent.futures.TimeoutError):
+            eng.decode(np.zeros((wt.spec.backbone.input_channels, 10),
+                                np.float32), timeout=0.05)  # per-call

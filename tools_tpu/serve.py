@@ -66,11 +66,10 @@ def make_handler(engine, device_kind: str):
             if self.path == "/healthz":
                 self._reply(200, {"ok": True, "device": device_kind})
             elif self.path == "/stats":
-                s = engine.stats
-                self._reply(200, {
-                    "requests": s.requests, "batches": s.batches,
-                    "mean_batch_occupancy": round(s.mean_batch_occupancy, 3),
-                    "by_op": s.by_op})
+                snap = engine.stats.snapshot()
+                snap["mean_batch_occupancy"] = round(
+                    snap["mean_batch_occupancy"], 3)
+                self._reply(200, snap)
             else:
                 self._reply(404, {"error": "not found"})
 

@@ -51,6 +51,12 @@ class EngineConfig:
     clip_seconds: tuple = (3.0,)        # length buckets, ascending
     max_wait_ms: float = 4.0            # linger for batch coalescing
     max_queue: int = 4096
+    # Default Future.result timeout for the blocking helpers encode()/
+    # decode()/detokenize().  None = wait forever; set it when callers must
+    # not hang on a wedged worker (e.g. killed mid cold-compile after
+    # close()).  Cold compiles on this stack can take ~20 min, so any
+    # finite default would break first-call-compiles — opt in explicitly.
+    request_timeout_s: float | None = None
 
 
 @dataclass
@@ -62,6 +68,19 @@ class EngineStats:
     @property
     def mean_batch_occupancy(self) -> float:
         return self.requests / max(self.batches, 1)
+
+    def snapshot(self) -> dict:
+        """Consistent copy for cross-thread readers (/stats handlers)."""
+        with _STATS_LOCK:
+            return {"requests": self.requests, "batches": self.batches,
+                    "mean_batch_occupancy": self.mean_batch_occupancy,
+                    "by_op": dict(self.by_op)}
+
+
+# Counters are written by the engine worker thread and read by HTTP handler
+# threads; a single module-level lock keeps (requests, batches, by_op)
+# mutually consistent.  Contention is nil (one writer, rare readers).
+_STATS_LOCK = threading.Lock()
 
 
 class ServingEngine:
@@ -108,18 +127,35 @@ class ServingEngine:
         decode: (D, T') features -> (T,) float audio
         detokenize: (T',) int codes -> (T,) float audio
 
-        Payloads are bucket-validated HERE (per request) so an oversized
-        clip fails only its own future and can never poison the batch it
-        would have been coalesced with.
+        Payloads are shape/dtype/bucket-validated HERE (per request) so a
+        malformed or oversized payload fails only its own future and can
+        never poison the batch it would have been coalesced with.
         """
         if op not in ("encode", "decode", "detokenize"):
             raise ValueError(op)
+        np = self._np
         fut: Future = Future()
         try:
-            arr = self._np.asarray(payload)
+            arr = np.asarray(payload)
             if op == "encode":
+                if arr.ndim != 1 or not np.issubdtype(arr.dtype, np.floating):
+                    raise ValueError(
+                        f"encode expects 1-D float audio (T,), got "
+                        f"shape {arr.shape} dtype {arr.dtype}")
                 self._bucket_samples(arr.shape[-1])
-            else:
+            elif op == "decode":
+                dim = self.wt.spec.backbone.input_channels
+                if (arr.ndim != 2 or arr.shape[0] != dim
+                        or not np.issubdtype(arr.dtype, np.floating)):
+                    raise ValueError(
+                        f"decode expects 2-D float features ({dim}, T'), "
+                        f"got shape {arr.shape} dtype {arr.dtype}")
+                self._bucket_frames(arr.shape[-1])
+            else:  # detokenize
+                if arr.ndim != 1 or not np.issubdtype(arr.dtype, np.integer):
+                    raise ValueError(
+                        f"detokenize expects 1-D int codes (T',), got "
+                        f"shape {arr.shape} dtype {arr.dtype}")
                 self._bucket_frames(arr.shape[-1])
         except ValueError as e:
             fut.set_exception(e)
@@ -130,14 +166,17 @@ class ServingEngine:
             self._q.put((op, arr, fut))
         return fut
 
-    def encode(self, audio):
-        return self.submit("encode", audio).result()
+    def encode(self, audio, timeout: float | None = None):
+        return self.submit("encode", audio).result(
+            timeout if timeout is not None else self.cfg.request_timeout_s)
 
-    def decode(self, features):
-        return self.submit("decode", features).result()
+    def decode(self, features, timeout: float | None = None):
+        return self.submit("decode", features).result(
+            timeout if timeout is not None else self.cfg.request_timeout_s)
 
-    def detokenize(self, codes):
-        return self.submit("detokenize", codes).result()
+    def detokenize(self, codes, timeout: float | None = None):
+        return self.submit("detokenize", codes).result(
+            timeout if timeout is not None else self.cfg.request_timeout_s)
 
     def warmup(self) -> None:
         """Pre-compile every (op, bucket) program so first real requests
@@ -251,9 +290,10 @@ class ServingEngine:
 
     def _dispatch_inner(self, op, batch) -> None:
         np = self._np
-        self.stats.requests += len(batch)
-        self.stats.batches += 1
-        self.stats.by_op[op] = self.stats.by_op.get(op, 0) + len(batch)
+        with _STATS_LOCK:
+            self.stats.requests += len(batch)
+            self.stats.batches += 1
+            self.stats.by_op[op] = self.stats.by_op.get(op, 0) + len(batch)
 
         payloads = [np.asarray(p) for _, p, _ in batch]
         if op == "encode":

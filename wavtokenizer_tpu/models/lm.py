@@ -144,6 +144,16 @@ def streaming_transformer(params: dict, cfg: StreamingTransformerConfig,
     (ref: transformer.py:103-120).  Post-LN layer (torch default
     norm_first=False): LN(x + attn), LN(x + ff)."""
     B, T, C = x.shape
+    if states is None and isinstance(offset, (int, np.integer)) and offset != 0:
+        # Fresh-state buffers are masked by ABSOLUTE position (slots below
+        # -1 are pre-history padding); starting a fresh stream at offset>0
+        # would expose up to past_context zero slots as real tokens where
+        # the reference attends exactly one zero token.  No valid caller
+        # does this — reject instead of silently diverging.
+        raise ValueError(
+            f"states=None implies a fresh stream: offset must be 0, got "
+            f"{offset} (resume mid-stream by passing the states returned "
+            "from the previous call)")
     if states is None:
         # fixed-size rolling buffers (pre-history = zeros, masked out by
         # absolute position in _streaming_attention) — shapes are static
