@@ -27,12 +27,20 @@ def main(argv=None):
     parser.add_argument("--filelist", required=True)
     parser.add_argument("--out-dir", required=True)
     parser.add_argument("--bandwidth-id", type=int, default=0)
-    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--batch-size", type=int, default=128,
+                        help="device batch: chunks from MANY files share "
+                             "each call (128 = measured chip sweet spot)")
     parser.add_argument("--chunk-seconds", type=float, default=3.0)
+    parser.add_argument("--overlap", type=float, default=0.25,
+                        help="chunk overlap fraction (ref tsne_inf.py uses "
+                             "0.25; lower burns less redundant compute)")
+    parser.add_argument("--files-per-group", type=int, default=64,
+                        help="files read/decoded per host-side group "
+                             "(bounds host RAM, not the device batch)")
     args = parser.parse_args(argv)
 
     from wavtokenizer_tpu import WavTokenizer
-    from wavtokenizer_tpu.api.streaming import reconstruct_long
+    from wavtokenizer_tpu.api.streaming import reconstruct_long_batch
     from wavtokenizer_tpu.train.data import read_audio, resample_np
     from wavtokenizer_tpu.utils.cache import enable_compilation_cache
 
@@ -47,18 +55,27 @@ def main(argv=None):
     with open(args.filelist) as f:
         files = [l.strip() for l in f if l.strip()]
 
-    for path in files:
-        y, in_sr = read_audio(path)
-        if y.ndim > 1:
-            y = y.mean(axis=-1)
-        if in_sr != sr:
-            y = resample_np(y, in_sr, sr)
-        wav = np.asarray(reconstruct_long(wt, y,
-                                          chunk_seconds=args.chunk_seconds,
-                                          bandwidth_id=args.bandwidth_id))
-        out = os.path.join(args.out_dir, os.path.basename(path))
-        save_pcm16(out, wav[:len(y)], sr)
-        print(f"wrote {out}")
+    # Host-side groups of files; inside a group every file's chunks share
+    # fixed-shape (batch_size, chunk) device calls.
+    for g in range(0, len(files), args.files_per_group):
+        group = files[g:g + args.files_per_group]
+        audios = []
+        for path in group:
+            y, in_sr = read_audio(path)
+            if y.ndim > 1:
+                y = y.mean(axis=-1)
+            if in_sr != sr:
+                y = resample_np(y, in_sr, sr)
+            audios.append(y)
+        wavs = reconstruct_long_batch(wt, audios,
+                                      chunk_seconds=args.chunk_seconds,
+                                      overlap=args.overlap,
+                                      bandwidth_id=args.bandwidth_id,
+                                      batch_size=args.batch_size)
+        for path, y, wav in zip(group, audios, wavs):
+            out = os.path.join(args.out_dir, os.path.basename(path))
+            save_pcm16(out, np.asarray(wav)[:len(y)], sr)
+            print(f"wrote {out}")
     return 0
 
 

@@ -76,3 +76,32 @@ def test_encode_infer_chunked_layout(rng):
     assert orig == len(audio)
     # 2 s chunks at hop 320 -> 150 frames
     assert feats.shape[2] == codes.shape[2] == 150
+
+
+def test_reconstruct_long_batch_matches_single(rng):
+    """Cross-file chunk batching produces the same waveforms as the
+    per-file path (same chunks, same cross-fade; only the device batching
+    differs), including bucket padding on the final partial slice."""
+    from wavtokenizer_tpu.api.streaming import reconstruct_long_batch
+
+    wt = _tiny_wt()
+    lens = [int(24000 * 4.5), int(24000 * 2.2), int(24000 * 6.0)]
+    audios = [rng.normal(size=(n,)).astype(np.float32) * 0.1 for n in lens]
+    singles = [np.asarray(reconstruct_long(wt, a, chunk_seconds=2.0))
+               for a in audios]
+    # batch_size 4 forces multiple slices + a padded final bucket
+    batched = reconstruct_long_batch(wt, audios, chunk_seconds=2.0,
+                                     batch_size=4)
+    assert len(batched) == len(audios)
+    for got, want, n in zip(batched, singles, lens):
+        got = np.asarray(got)
+        assert got.shape == (n,)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_bucket_size():
+    from wavtokenizer_tpu.api.streaming import _bucket_size
+    assert _bucket_size(1, 128) == 1
+    assert _bucket_size(3, 128) == 4
+    assert _bucket_size(27, 128) == 32
+    assert _bucket_size(200, 128) == 128

@@ -82,6 +82,61 @@ def encode_infer_chunked(wt, audio, chunk_seconds: float = 3.0,
     return features, codes, stride, orig_len
 
 
+def _bucket_size(n: int, cap: int) -> int:
+    """Smallest power-of-two >= n, capped — bounds the number of compiled
+    shapes at log2(cap) while keeping padding waste < 2x."""
+    b = 1
+    while b < n and b < cap:
+        b *= 2
+    return min(b, cap)
+
+
+def reconstruct_long_batch(wt, audios, chunk_seconds: float = 3.0,
+                           overlap: float = 0.25, bandwidth_id=0,
+                           batch_size: int = 128) -> list:
+    """Long-form copy synthesis for MANY streams with shared device calls.
+
+    The chunks of all files are concatenated along the batch axis and
+    processed in power-of-two-bucketed slices up to ``batch_size`` (the
+    measured single-chip sweet spot is 128), so a directory of long files
+    rides full batches instead of one under-filled call per file and the
+    compiler sees at most log2(batch_size) shapes.  Cross-fade joining is
+    per file, identical to :func:`reconstruct_long` (ref chunking scheme:
+    tsne_inf.py:63-157).
+
+    audios: iterable of 1-D arrays.  Returns a list of reconstructed
+    waveforms in input order.
+    """
+    sr = wt.spec.sample_rate
+    chunk_samples = int(chunk_seconds * sr)
+    metas, all_chunks = [], []
+    for y in audios:
+        chunks, stride, orig_len = chunk_audio(jnp.asarray(y), chunk_samples,
+                                               overlap)
+        metas.append((chunks.shape[0], stride, orig_len))
+        all_chunks.append(chunks)
+    cat = jnp.concatenate(all_chunks, axis=0)
+    N = cat.shape[0]
+    outs = []
+    pos = 0
+    while pos < N:
+        take = min(batch_size, N - pos)
+        bucket = _bucket_size(take, batch_size)
+        sl = cat[pos:pos + take]
+        if take < bucket:
+            sl = jnp.pad(sl, ((0, bucket - take), (0, 0)))
+        features, _ = wt.encode_infer(sl, bandwidth_id=bandwidth_id)
+        decoded = wt.decode(features, bandwidth_id=bandwidth_id)
+        outs.append(decoded[:take, :chunk_samples])
+        pos += take
+    dec_all = jnp.concatenate(outs, axis=0)
+    res, pos = [], 0
+    for n, stride, orig_len in metas:
+        res.append(crossfade_join(dec_all[pos:pos + n], stride, orig_len))
+        pos += n
+    return res
+
+
 def reconstruct_long(wt, audio, chunk_seconds: float = 3.0,
                      overlap: float = 0.25, bandwidth_id=0) -> jnp.ndarray:
     """Long-form copy synthesis: chunk -> batch encode/decode -> cross-fade.
