@@ -343,3 +343,60 @@ def test_remat_and_dropout_training_invariants():
     drop2 = run(TrainConfig(remat=True, pos_dropout=0.5))
     assert drop1 == drop2
     assert any(abs(drop1[k] - base[k]) > 1e-6 for k in base)
+
+
+def test_fused_losses_match_list_level_primitives():
+    """The scalar-output fused per-sub-discriminator losses (the remat
+    granularity train_step uses) must equal the list-level primitive
+    formulas exactly, with and without jax.checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavtokenizer_tpu.train.discriminators import (
+        init_discriminators, multi_period_discriminator,
+        multi_resolution_discriminator)
+    from wavtokenizer_tpu.train.losses import (
+        dac_disc_loss_fused, dac_discriminator_loss, dac_gen_loss_fused,
+        dac_generator_loss, feature_matching_loss, hinge_discriminator_loss,
+        hinge_generator_loss, vocos_disc_loss_fused, vocos_gen_loss_fused)
+
+    rng = np.random.default_rng(0)
+    disc = jax.tree.map(jnp.asarray, init_discriminators(seed=3))
+    y = jnp.asarray(rng.normal(size=(2, 9600)).astype(np.float32) * 0.1)
+    y_hat = jnp.asarray(rng.normal(size=(2, 9600)).astype(np.float32) * 0.1)
+    bw = jnp.asarray(1)
+
+    # list-level ground truth
+    r_mp, g_mp, fr_mp, fg_mp = multi_period_discriminator(disc["mpd"], y,
+                                                          y_hat, bw)
+    r_mrd, g_mrd, fr_mrd, fg_mrd = multi_resolution_discriminator(
+        disc["mrd"], y, y_hat, bw)
+    want = {
+        "disc_mp": hinge_discriminator_loss(r_mp, g_mp) / len(r_mp),
+        "disc_mrd": hinge_discriminator_loss(r_mrd, g_mrd) / len(r_mrd),
+        "gen_mp": hinge_generator_loss(g_mp) / len(g_mp),
+        "gen_mrd": hinge_generator_loss(g_mrd) / len(g_mrd),
+        "fm_mp": feature_matching_loss(fr_mp, fg_mp) / len(fr_mp),
+        "fm_mrd": feature_matching_loss(fr_mrd, fg_mrd) / len(fr_mrd),
+        "dac_disc": dac_discriminator_loss(disc, y_hat, y),
+    }
+    want["dac_gen"], want["dac_feat"] = dac_generator_loss(disc, y_hat, y)
+
+    for remat in (False, True):
+        got = {
+            "disc_mp": vocos_disc_loss_fused(disc["mpd"], "mpd", y, y_hat,
+                                             bw, remat=remat),
+            "disc_mrd": vocos_disc_loss_fused(disc["mrd"], "mrd", y, y_hat,
+                                              bw, remat=remat),
+            "dac_disc": dac_disc_loss_fused(disc, y_hat, y, remat=remat),
+        }
+        got["gen_mp"], got["fm_mp"] = vocos_gen_loss_fused(
+            disc["mpd"], "mpd", y, y_hat, bw, remat=remat)
+        got["gen_mrd"], got["fm_mrd"] = vocos_gen_loss_fused(
+            disc["mrd"], "mrd", y, y_hat, bw, remat=remat)
+        got["dac_gen"], got["dac_feat"] = dac_gen_loss_fused(disc, y_hat, y,
+                                                             remat=remat)
+        for k in want:
+            np.testing.assert_allclose(float(got[k]), float(want[k]),
+                                       rtol=1e-6, atol=1e-7,
+                                       err_msg=f"{k} remat={remat}")

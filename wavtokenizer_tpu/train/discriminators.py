@@ -227,38 +227,60 @@ def _dac_mpd(params: dict, period: int, x: jnp.ndarray):
     return fmap
 
 
+_DAC_MRD_CONV_CFG = [((3, 9), (1, 1), (1, 4)), ((3, 9), (1, 2), (1, 4)),
+                     ((3, 9), (1, 2), (1, 4)), ((3, 9), (1, 2), (1, 4)),
+                     ((3, 3), (1, 1), (1, 1))]
+
+
+def _dac_mrd_spectrogram(x: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """torch.stft defaults: hop = n_fft // 4, rectangular window, center=True
+    reflect pad.  Real/imag stacked as 2 channels: (B, T', F, 2)."""
+    ones = np.ones(n_fft, np.float32)
+    spec = stft(x, n_fft, n_fft // 4, win_length=n_fft, window=ones,
+                center=True, pad_mode="reflect")        # (B, T', F)
+    return jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+
+
+def _dac_mrd_band_slices(n_fft: int) -> list:
+    n_bins = n_fft // 2 + 1
+    return [(int(lo * n_bins), int(hi * n_bins)) for lo, hi in DAC_BANDS]
+
+
+def _dac_mrd_band(stack_params: list, b: jnp.ndarray) -> list:
+    """One band's conv stack over its spectrogram slice; returns the fmap
+    list (5 activations, last = band output).  stack_params are (v,g,bias)
+    weight-norm trees (folded here)."""
+    folded = [fold_tree(c) for c in stack_params]
+    fmap = []
+    for c, (k, s, p) in zip(folded, _DAC_MRD_CONV_CFG):
+        b = conv2d(b, c["kernel"], c["bias"], strides=s,
+                   padding=((p[0], p[0]), (p[1], p[1])))
+        b = _lrelu(b)
+        fmap.append(b)
+    return fmap
+
+
+def _dac_mrd_post(post_params: dict, band_outs: list) -> jnp.ndarray:
+    folded = fold_tree(post_params)
+    out = jnp.concatenate(band_outs, axis=2)  # concat along F
+    return conv2d(out, folded["kernel"], folded["bias"],
+                  padding=((1, 1), (1, 1)))
+
+
 def _dac_mrd(params: dict, n_fft: int, x: jnp.ndarray):
     """Complex multi-band spectrogram discriminator (ref: :110-191).
 
-    torch.stft defaults: hop = n_fft // 4, rectangular window, center=True
-    reflect pad.  Real/imag become 2 input channels; bands split the
-    frequency axis; convs run (T, F) with stride-2 downsampling on F.
+    Bands split the frequency axis; convs run (T, F) with stride-2
+    downsampling on F; conv_post over the F-concatenated band outputs.
     """
-    folded = fold_tree(params)
-    hop = n_fft // 4
-    ones = np.ones(n_fft, np.float32)
-    spec = stft(x, n_fft, hop, win_length=n_fft, window=ones, center=True,
-                pad_mode="reflect")                     # (B, T', F)
-    h = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)  # (B, T', F, 2)
-    n_bins = n_fft // 2 + 1
-    bands = [(int(lo * n_bins), int(hi * n_bins)) for lo, hi in DAC_BANDS]
-
+    h = _dac_mrd_spectrogram(x, n_fft)
     fmap = []
     outs = []
-    conv_cfg = [((3, 9), (1, 1), (1, 4)), ((3, 9), (1, 2), (1, 4)),
-                ((3, 9), (1, 2), (1, 4)), ((3, 9), (1, 2), (1, 4)),
-                ((3, 3), (1, 1), (1, 1))]
-    for (lo, hi), stack in zip(bands, folded["bands"]):
-        b = h[:, :, lo:hi, :]
-        for c, (k, s, p) in zip(stack, conv_cfg):
-            b = conv2d(b, c["kernel"], c["bias"], strides=s,
-                       padding=((p[0], p[0]), (p[1], p[1])))
-            b = _lrelu(b)
-            fmap.append(b)
-        outs.append(b)
-    out = jnp.concatenate(outs, axis=2)  # concat along F
-    out = conv2d(out, folded["conv_post"]["kernel"], folded["conv_post"]["bias"],
-                 padding=((1, 1), (1, 1)))
+    for (lo, hi), stack in zip(_dac_mrd_band_slices(n_fft), params["bands"]):
+        band_fmap = _dac_mrd_band(stack, h[:, :, lo:hi, :])
+        fmap.extend(band_fmap)
+        outs.append(band_fmap[-1])
+    out = _dac_mrd_post(params["conv_post"], outs)
     fmap.append(out)
     return fmap
 
@@ -273,6 +295,8 @@ def dac_discriminator(params: dict, x: jnp.ndarray) -> list:
     for p, n_fft in zip(params["dac_mrd"], DAC_FFT_SIZES):
         fmaps.append(_dac_mrd(p, n_fft, x))
     return fmaps
+
+
 
 
 # --------------------------------------------------------------------------

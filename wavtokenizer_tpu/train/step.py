@@ -32,11 +32,9 @@ from ..models.seanet import encoder_layer_specs, seanet_encode
 from ..models.vocos import istft_head, vocos_backbone
 from ..models.wavtokenizer import WavTokenizerSpec
 from ..models.init import init_wavtokenizer
-from .discriminators import (init_discriminators, multi_period_discriminator,
-                             multi_resolution_discriminator)
-from .losses import (dac_discriminator_loss, dac_generator_loss,
-                     feature_matching_loss, hinge_discriminator_loss,
-                     hinge_generator_loss, mel_loss)
+from .discriminators import init_discriminators
+from .losses import (dac_disc_loss_fused, dac_gen_loss_fused, mel_loss,
+                     vocos_disc_loss_fused, vocos_gen_loss_fused)
 from .vq_train import vq_train_forward
 from .wnorm import fold_tree, seanet_to_weight_norm
 
@@ -147,24 +145,18 @@ def generator_forward(gen: dict, vq: dict, spec: WavTokenizerSpec,
     return audio_hat, commit, new_vq
 
 
-def _ckpt(fn, remat: bool):
-    """Optionally jax.checkpoint a discriminator-family forward: with three
-    families x (real, fake) passes over 72 000-sample waves, holding every
-    family's activations for backward is the other half of the train-step
-    HBM bill; checkpointing bounds the peak at the largest single family."""
-    return jax.checkpoint(fn) if remat else fn
-
-
 def _disc_loss_fn(disc, audio_hat, audio, bandwidth_id, mrd_coeff,
                   remat=False):
-    """ref: experiment.py:125-148."""
-    loss_dac = _ckpt(dac_discriminator_loss, remat)(disc, audio_hat, audio)
-    real_mp, gen_mp, _, _ = _ckpt(multi_period_discriminator, remat)(
-        disc["mpd"], audio, audio_hat, bandwidth_id)
-    real_mrd, gen_mrd, _, _ = _ckpt(multi_resolution_discriminator, remat)(
-        disc["mrd"], audio, audio_hat, bandwidth_id)
-    loss_mp = hinge_discriminator_loss(real_mp, gen_mp) / len(real_mp)
-    loss_mrd = hinge_discriminator_loss(real_mrd, gen_mrd) / len(real_mrd)
+    """ref: experiment.py:125-148.
+
+    ``remat`` checkpoints each sub-discriminator's forward TOGETHER WITH its
+    scalar loss terms (losses.*_fused) so only scalars cross checkpoint
+    boundaries — the memory-correct granularity; see losses.py docstring."""
+    loss_dac = dac_disc_loss_fused(disc, audio_hat, audio, remat=remat)
+    loss_mp = vocos_disc_loss_fused(disc["mpd"], "mpd", audio, audio_hat,
+                                    bandwidth_id, remat=remat)
+    loss_mrd = vocos_disc_loss_fused(disc["mrd"], "mrd", audio, audio_hat,
+                                     bandwidth_id, remat=remat)
     loss = loss_mp + mrd_coeff * loss_mrd + loss_dac
     return loss, {"disc_total": loss, "disc_mp": loss_mp, "disc_mrd": loss_mrd,
                   "disc_dac": loss_dac}
@@ -181,16 +173,12 @@ def _gen_loss_fn(gen, disc, vq, spec, audio, bandwidth_id, key, n_q,
     metrics = {"mel_loss": l_mel, "commit_loss": commit_loss}
     loss = mel_coeff * l_mel + 1000.0 * commit_loss
     if train_discriminator:
-        dac_g, dac_feat = _ckpt(dac_generator_loss, remat)(disc, audio_hat,
-                                                           audio)
-        _, gen_mp, fr_mp, fg_mp = _ckpt(multi_period_discriminator, remat)(
-            disc["mpd"], audio, audio_hat, bandwidth_id)
-        _, gen_mrd, fr_mrd, fg_mrd = _ckpt(multi_resolution_discriminator, remat)(
-            disc["mrd"], audio, audio_hat, bandwidth_id)
-        loss_gen_mp = hinge_generator_loss(gen_mp) / len(gen_mp)
-        loss_gen_mrd = hinge_generator_loss(gen_mrd) / len(gen_mrd)
-        loss_fm_mp = feature_matching_loss(fr_mp, fg_mp) / len(fr_mp)
-        loss_fm_mrd = feature_matching_loss(fr_mrd, fg_mrd) / len(fr_mrd)
+        dac_g, dac_feat = dac_gen_loss_fused(disc, audio_hat, audio,
+                                             remat=remat)
+        loss_gen_mp, loss_fm_mp = vocos_gen_loss_fused(
+            disc["mpd"], "mpd", audio, audio_hat, bandwidth_id, remat=remat)
+        loss_gen_mrd, loss_fm_mrd = vocos_gen_loss_fused(
+            disc["mrd"], "mrd", audio, audio_hat, bandwidth_id, remat=remat)
         loss = (loss + loss_gen_mp + mrd_coeff * loss_gen_mrd + loss_fm_mp
                 + mrd_coeff * loss_fm_mrd + dac_g + dac_feat)
         metrics.update({"gen_mp": loss_gen_mp, "gen_mrd": loss_gen_mrd,
@@ -223,6 +211,7 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
         # --- discriminator phase (no grads through the generator) --------
         audio_hat_d, _, vq = generator_forward(
             state["gen"], vq, spec, audio, bandwidth_id, k_vq1, n_q,
+            remat=tcfg.remat,  # dense packed layer boundaries (no grads here)
             dropout_rng=k_drop1, dropout_rate=tcfg.pos_dropout)
         audio_hat_d = jax.lax.stop_gradient(audio_hat_d)
         vq = jax.lax.stop_gradient(vq)
@@ -235,6 +224,14 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
                                                      state["opt_disc"], disc)
         disc = optax.apply_updates(disc, d_updates)
         metrics.update(d_metrics)
+        # Scheduling barrier: the generator-phase encoder forward has no
+        # data dependency on the discriminators, so XLA's latency-hiding
+        # scheduler hoists it INTO the disc backward — measured ~3.4 GiB of
+        # encoder conv buffers live on top of the disc-phase recompute peak
+        # at batch 40.  Making the gen-phase audio depend on the updated
+        # disc serializes the phases (we're HBM-bound here, not
+        # latency-bound).
+        audio, disc = jax.lax.optimization_barrier((audio, disc))
     else:
         new_opt_disc = state["opt_disc"]
 
