@@ -83,8 +83,9 @@ def test_validate_metrics_and_resynthesis(tmp_path):
     """Trainer.validate computes the reference's objective metric set on
     16 kHz audio (experiment.py:227-258) and logs the val-end EnCodec
     resynthesis snapshot (experiment.py:464-474).  Without the optional
-    UTMOS ckpt / pesq package the scores are 0 (constants stay in
-    val_loss), but the keys must be present and the rest finite."""
+    UTMOS ckpt its score is 0 (the (5-0) constant stays in val_loss);
+    PESQ comes from the native P.862 fallback (metrics/pesq_native.py),
+    so it must be a real MOS-LQO in range, and the rest finite."""
     import json
 
     from wavtokenizer_tpu.train.data import WavDataset, data_loader
@@ -111,9 +112,10 @@ def test_validate_metrics_and_resynthesis(tmp_path):
               "val_periodicity_loss", "val_pitch_loss", "val_f1_score",
               "val_stoi"):
         assert k in vrec, vrec
-    # no evaluators installed in this image -> constants (5-0) remain
+    # UTMOS ckpt absent -> its (5-0) constant remains; PESQ is the
+    # native fallback's real MOS-LQO (untrained model -> low score)
     assert vrec["val_utmos_score"] == 0.0
-    assert vrec["val_pesq_score"] == 0.0
+    assert 1.0 <= vrec["val_pesq_score"] <= 4.644
     assert np.isfinite(vrec["val_periodicity_loss"])
     assert 0.0 <= vrec["val_f1_score"] <= 1.0
 

@@ -7,11 +7,13 @@ test.py:138-172, decoder/experiment.py:227-258):
   objective intelligibility measure (stands in for pystoi).
 * SNR, log-mel spectral distance, envelope similarity — the fork's
   reconstruction metrics (ref: test.py:138-172).
-* PESQ / UTMOS — thin wrappers that use the real `pesq` package / UTMOS
-  checkpoint when installed; this image has neither (zero egress), so they
-  return None and the harness reports them as unavailable.  The val_loss
-  formula keeps their (5 - score) placeholder terms exactly like the
-  reference does when evaluators are disabled.
+* PESQ — prefers the real `pesq` package when installed; otherwise the
+  native P.862-structured implementation (pesq_native.py) scores, so a
+  real wideband MOS-LQO is always available.
+* UTMOS — native model graph (utmos.py) scored when a local torch
+  checkpoint is provided (``WT_UTMOS_CKPT``); without weights it returns
+  None and the val_loss formula keeps its (5 - score) placeholder term
+  exactly like the reference does when evaluators are disabled.
 """
 
 from __future__ import annotations
@@ -150,15 +152,25 @@ def envelope_similarity(ref: np.ndarray, deg: np.ndarray,
 # --------------------------------------------------------------------------
 
 def pesq_wb(ref: np.ndarray, deg: np.ndarray, sample_rate: int) -> float | None:
-    """Wideband PESQ via the `pesq` C extension when installed
-    (ref: metrics/infer.py PESQ @16k)."""
-    try:
-        from pesq import pesq as _pesq
-    except ImportError:
-        return None
+    """Wideband PESQ MOS-LQO (ref: metrics/infer.py PESQ @16k).
+
+    Prefers the ITU `pesq` C extension when installed; otherwise falls
+    back to the native P.862-structured implementation
+    (metrics/pesq_native.py — see its docstring for the calibration
+    scope).  Set ``WT_NATIVE_PESQ=0`` to disable the fallback (then
+    returns None without the package, as in round 1)."""
     if sample_rate != 16000:
         ref = resample_np(ref.astype(np.float32), sample_rate, 16000)
         deg = resample_np(deg.astype(np.float32), sample_rate, 16000)
+    try:
+        from pesq import pesq as _pesq
+    except ImportError:
+        import os
+        if os.environ.get("WT_NATIVE_PESQ", "1") == "0":
+            return None
+        from .pesq_native import pesq_wb_native
+        v = pesq_wb_native(ref, deg, 16000)
+        return None if np.isnan(v) else float(v)
     n = min(len(ref), len(deg))
     return float(_pesq(16000, ref[:n], deg[:n], "wb", on_error=1))
 

@@ -155,9 +155,11 @@ class Trainer:
         periodicity RMSE / pitch RMSE (cents) / voiced F1, UTMOS, PESQ —
         plus native STOI (extra observability, not part of val_loss).
 
-        UTMOS needs a local checkpoint (``WT_UTMOS_CKPT``); PESQ the `pesq`
-        package.  Missing evaluators score 0 so the (5 - score) val_loss
-        terms stay constants, matching the reference with evaluate_* off.
+        UTMOS needs a local checkpoint (``WT_UTMOS_CKPT``); PESQ uses the
+        `pesq` package when installed, else the native P.862 fallback
+        (metrics/pesq_native.py).  Missing evaluators score 0 so the
+        (5 - score) val_loss terms stay constants, matching the reference
+        with evaluate_* off.
         """
         from ..metrics.objective import pesq_wb, stoi, utmos_score
         from ..metrics.periodicity import calculate_periodicity_metrics
