@@ -257,11 +257,12 @@ def bench_bulk_extract():
 
 
 def bench_train_step():
-    """GAN training throughput on one chip (batch 24 x 3 s crops; the
-    reference's per-GPU batch is 40, configs/...frame75...yaml:10, but XLA
-    pads the narrow-channel encoder activations to 128 lanes on the batch
-    axis, and with that padding batch 40 exceeds 16 GB of HBM even with
-    full rematerialization — 24 is the largest clean fit).  The reference
+    """GAN training throughput on one chip at the reference's per-GPU
+    batch 40 x 3 s (configs/...frame75...yaml:10).  Batch 40 fits a 16 GB
+    v5e since the lane-packed remat boundaries + per-scalar discriminator
+    checkpoints landed: tools_tpu/mem_probe.py measures 13.19 GiB peak
+    (11.33 GiB temps) at batch 40, vs ~20.6 GiB raw / ~16.9 GiB with the
+    r1 remat (which capped the clean fit at batch 24).  The reference
     publishes no training throughput (BASELINE.md); the number is reported
     on the same audio-sec/sec/chip yardstick as inference, but note the
     workload is ~30x the inference FLOPs (generator fwd+bwd twice + three
@@ -277,7 +278,7 @@ def bench_train_step():
     spec = WavTokenizerSpec()
     tcfg = TrainConfig()
     state = jax.device_put(create_train_state(spec, tcfg, seed=0))
-    B, SECONDS = int(os.environ.get("BENCH_TRAIN_BATCH", 24)), 3.0
+    B, SECONDS = int(os.environ.get("BENCH_TRAIN_BATCH", 40)), 3.0
     T = int(spec.sample_rate * SECONDS)
     rng = np.random.default_rng(0)
     audios = [jax.device_put(jnp.asarray(

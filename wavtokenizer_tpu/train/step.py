@@ -54,10 +54,11 @@ class TrainConfig:
     num_bandwidths: int = 4
     weight_decay: float = 0.01  # torch AdamW default
     # Rematerialize generator + discriminator blocks in the backward pass
-    # (jax.checkpoint).  Costs ~1/3 extra forward FLOPs; cuts step HBM from
-    # ~20.6 GB to ~16.9 GB at the reference's batch 40 x 3 s (still over a
-    # 16 GB v5e — batch 24 is the measured single-chip maximum; the 8-way
-    # dp configs run ~5/chip and are nowhere near the limit).
+    # (jax.checkpoint).  Costs ~1/3 extra forward FLOPs; with lane-packed
+    # checkpoint boundaries (seanet.py) and per-scalar discriminator-loss
+    # checkpoints (losses.py) the reference's batch 40 x 3 s step measures
+    # 13.19 GiB peak on-chip (~20.6 GiB raw without remat) — the full
+    # reference batch fits a 16 GB v5e; see tools_tpu/mem_probe.py.
     remat: bool = True
     # Training-time dropout inside the backbone pos-net resblocks
     # (the reference trains with 0.1, decoder/models.py:200).
@@ -129,9 +130,10 @@ def generator_forward(gen: dict, vq: dict, spec: WavTokenizerSpec,
     (ref: experiment.py:114-119 via feature_extractors.py:105-119).
 
     ``remat`` checkpoints every encoder/backbone block so the GAN backward
-    recomputes activations instead of holding them: the batch-40 x 3 s step
-    drops from ~20.6 GB of HBM temps to ~16.9 GB (layout padding keeps the
-    floor above a 16 GB v5e at batch 40; batch 24 fits — see TrainConfig).
+    recomputes activations instead of holding them; checkpointed encoder
+    activations cross block boundaries lane-packed ((B,T,C)->(B,T/k,kC),
+    seanet.py) so the batch-40 x 3 s step fits a 16 GB v5e at 13.19 GiB
+    peak (~20.6 GiB raw without remat — see TrainConfig and mem_probe.py).
     ``dropout_rng`` enables the reference's pos-net Dropout(0.1) during
     training (decoder/models.py:200); validation passes None."""
     enc = fold_tree(gen["encoder"])
