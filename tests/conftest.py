@@ -1,21 +1,23 @@
 """Test configuration: force CPU with 8 virtual devices (sharding tests run on
 a fake mesh; TPU bench runs live outside pytest via bench.py)."""
 
+import importlib.util
 import os
 
+# Canonical virtual-mesh XLA_FLAGS, SHARED with __graft_entry__.py: the
+# collective-timeout values enter the jax compilation-cache key, so pytest
+# must compile with exactly the flags the driver's dryrun re-exec uses or
+# the suite-warmed .jax_cache never serves the driver (round-2 failure).
+# Loaded by file path so no jax-importing package code runs before the env
+# is set.
+_xf_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "wavtokenizer_tpu", "utils", "xla_flags.py")
+_xf_spec = importlib.util.spec_from_file_location("_wt_xla_flags", _xf_path)
+_xla_flags = importlib.util.module_from_spec(_xf_spec)
+_xf_spec.loader.exec_module(_xla_flags)
+
 os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    xla_flags = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
-# XLA:CPU's in-process collectives SIGABRT (rendezvous.cc) when device
-# threads skew past the default 20 s/40 s stuck-detection timeouts — routine
-# when 8 virtual devices timeshare this box's ONE core (e.g. the trainer
-# mesh tests).  Match __graft_entry__.py and effectively disable them.
-if "collective_call_warn_stuck" not in xla_flags:
-    xla_flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=3600"
-                  " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
-                  " --xla_cpu_collective_timeout_seconds=7200")
-os.environ["XLA_FLAGS"] = xla_flags
+os.environ["XLA_FLAGS"] = _xla_flags.canonical_cpu_mesh_flags(8)
 
 # The axon sitecustomize imports jax at interpreter startup with
 # JAX_PLATFORMS=axon already latched, so the env var alone is not enough —

@@ -270,3 +270,48 @@ def test_engine_blocking_helpers_honor_timeout(rng):
         with np.testing.assert_raises(concurrent.futures.TimeoutError):
             eng.decode(np.zeros((wt.spec.backbone.input_channels, 10),
                                 np.float32), timeout=0.05)  # per-call
+
+
+def test_engine_codes_bit_exact_at_arbitrary_lengths(rng):
+    """VERDICT r2 Next #6 'Done' criterion: engine-served codes must equal
+    ``encode_infer`` at each request's NATURAL length for several
+    off-bucket lengths — the engine pads batch rows only, never time, so
+    the 100%-token-match north star holds on the serving path too."""
+    wt = _small_wt()
+    cfg = EngineConfig(batch_sizes=(4,), clip_seconds=(0.5,), max_wait_ms=30.0)
+    sr = wt.spec.sample_rate
+    lengths = [int(0.5 * sr), int(0.33 * sr), int(0.21 * sr) + 7,
+               int(0.49 * sr) - 1]
+    clips = [rng.normal(size=t).astype(np.float32) * 0.1 for t in lengths]
+
+    with ServingEngine(wt, cfg) as eng:
+        futs = [eng.submit("encode", c) for c in clips]
+        outs = [f.result(timeout=1200) for f in futs]
+
+    for clip, (feats, codes) in zip(clips, outs):
+        feats_ref, codes_ref = wt.encode_infer(clip[None])
+        np.testing.assert_array_equal(codes, np.asarray(codes_ref)[0, 0])
+        np.testing.assert_array_equal(feats, np.asarray(feats_ref)[0])
+
+    # decode path too: engine decode == direct decode at natural length
+    with ServingEngine(wt, cfg) as eng:
+        wav = eng.decode(outs[1][0], timeout=1200)
+    wav_ref = np.asarray(wt.decode(np.asarray(outs[1][0])[None],
+                                   bandwidth_id=0))[0]
+    # engine decode embeds bandwidth_id=0 as a compile-time constant while
+    # the facade traces it — same math, potentially different fusion, so
+    # float tolerance (codes above stay exact-match).
+    np.testing.assert_allclose(wav, wav_ref, atol=1e-5)
+
+
+def test_engine_program_lru_bounded(rng):
+    """The exact-length program cache evicts beyond max_programs."""
+    wt = _small_wt()
+    cfg = EngineConfig(batch_sizes=(1,), clip_seconds=(0.2,),
+                       max_wait_ms=1.0, max_programs=2)
+    sr = wt.spec.sample_rate
+    with ServingEngine(wt, cfg) as eng:
+        for t in (int(0.05 * sr), int(0.08 * sr), int(0.11 * sr)):
+            eng.encode(rng.normal(size=t).astype(np.float32) * 0.1,
+                       timeout=1200)
+        assert len(eng._programs) <= 2

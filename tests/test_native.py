@@ -114,3 +114,34 @@ def test_loader_bad_file_skips(tmp_path, wav_dir):
     # bad file yields silence, good file yields audio
     assert np.abs(batch).max() > 0
     ldr.close()
+
+
+def test_native_loader_start_seq_resumes_stream(wav_dir):
+    """start_seq fast-forwards the deterministic stream to global batch N
+    without decoding: the resumed stream must equal the consumed one
+    (exact mid-run resume positioning, across an epoch boundary)."""
+    paths, _ = wav_dir
+    kw = dict(sample_rate=24000, num_samples=24000, batch_size=2,
+              train=True, num_threads=2, seed=7, drop_last=False)
+    ldr = native.NativeDataLoader(paths, **kw)
+    batches = [ldr.next_batch() for _ in range(6)]   # 5 files -> 3 b/epoch
+    ldr.close()
+    ldr2 = native.NativeDataLoader(paths, **kw, start_seq=4)
+    np.testing.assert_array_equal(ldr2.next_batch(), batches[4])
+    np.testing.assert_array_equal(ldr2.next_batch(), batches[5])
+    ldr2.close()
+
+
+def test_native_loader_tail_batch_repeat_pads(wav_dir):
+    """drop_last=False: 5 files at batch 2 -> the 3rd batch holds one real
+    item repeat-padded into both rows (no silent zero row — VERDICT r2
+    Next #9 applied to the native path)."""
+    paths, _ = wav_dir
+    ldr = native.NativeDataLoader(paths, sample_rate=24000,
+                                  num_samples=24000, batch_size=2,
+                                  train=True, num_threads=2, seed=3,
+                                  drop_last=False)
+    b3 = [ldr.next_batch() for _ in range(3)][2]
+    ldr.close()
+    np.testing.assert_array_equal(b3[0], b3[1])
+    assert np.abs(b3[0]).max() > 0

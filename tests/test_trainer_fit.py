@@ -24,6 +24,13 @@ from wavtokenizer_tpu.train.data import DataConfig
 from wavtokenizer_tpu.train.trainer import Trainer
 
 
+# Width-scaled discriminators for fit-loop tests: disc PARITY is covered by
+# tests/test_train.py at full width; the fit loop only needs the structure,
+# and 1/8-width cuts the 8-device GAN-step XLA:CPU compile from ~19 min to
+# ~4 min on this 1-core box.
+TCFG_FIT = dict(max_steps=100, disc_channels_scale=0.125)
+
+
 def _tiny_spec():
     return WavTokenizerSpec(
         seanet=SEANetConfig(dimension=16, n_filters=2, ratios=(8, 5, 4, 2)),
@@ -55,7 +62,7 @@ def test_fit_data_parallel_on_mesh(tmp_path):
     assert len(jax.devices()) == 8, "conftest should force 8 virtual devices"
     filelist = _write_wavs(tmp_path)
     spec = _tiny_spec()
-    tcfg = TrainConfig(max_steps=100)
+    tcfg = TrainConfig(**TCFG_FIT)
     data = DataConfig(filelist_path=filelist, num_samples=3840, batch_size=8,
                       num_workers=0)
     tr = Trainer(spec, tcfg, data, out_dir=str(tmp_path / "run"),
@@ -93,7 +100,7 @@ def test_validate_metrics_and_resynthesis(tmp_path):
 
     filelist = _write_wavs(tmp_path, n=4, samples=24000)
     spec = _tiny_spec()
-    tcfg = TrainConfig(max_steps=10)
+    tcfg = TrainConfig(max_steps=10, disc_channels_scale=0.125)
     data = DataConfig(filelist_path=filelist, num_samples=19200, batch_size=2,
                       num_workers=0)
     tr = Trainer(spec, tcfg, data, val_data=data,
@@ -168,9 +175,10 @@ trainer:
 
     seen = {}
 
-    def fake_fit(self, max_batches=None, state=None):
+    def fake_fit(self, max_batches=None, state=None, resume_path=None):
         seen["trainer"] = self
         seen["max_batches"] = max_batches
+        seen["resume_path"] = resume_path
         return {}
 
     monkeypatch.setattr(Trainer, "fit", fake_fit)
@@ -183,3 +191,51 @@ trainer:
     assert tr.mesh is not None and tr.mesh.shape["data"] == 8
     assert tr.train_data.batch_size == 40  # global batch = config batch
     assert tr.spec.backbone.dim == 768
+
+
+def test_train_step_media_logged(tmp_path):
+    """Training-step TB media parity (VERDICT r2 Next #8; ref:
+    decoder/experiment.py:195-216 logs reconstructed/original audio + mel
+    images every 1000 TRAINING steps — here log_media_every=2 so a 3-step
+    smoke fit crosses one media step)."""
+    import glob
+
+    filelist = _write_wavs(tmp_path)
+    spec = _tiny_spec()
+    tcfg = TrainConfig(**TCFG_FIT)
+    data = DataConfig(filelist_path=filelist, num_samples=3840, batch_size=8,
+                      num_workers=0)
+    tr = Trainer(spec, tcfg, data, out_dir=str(tmp_path / "run"),
+                 log_every=10**9, val_every=10**9, log_media_every=2)
+    tr.fit(max_batches=3)
+
+    events = glob.glob(str(tmp_path / "run" / "tb" / "events*"))
+    assert events, "no TB event files written"
+    blob = b"".join(open(f, "rb").read() for f in events)
+    assert b"train/reconstructed" in blob
+    assert b"train/original" in blob
+
+
+def test_underfull_final_batch_repeat_padded(tmp_path):
+    """No silent sample loss (VERDICT r2 Next #9): a filelist of
+    batch_size+1 files yields a 1-sample final batch that must be
+    repeat-padded to the full static shape, not trimmed/dropped."""
+    filelist = _write_wavs(tmp_path, n=9)   # batch 8 -> final batch of 1
+    spec = _tiny_spec()
+    tcfg = TrainConfig(**TCFG_FIT)
+    data = DataConfig(filelist_path=filelist, num_samples=3840, batch_size=8,
+                      num_workers=0)
+    tr = Trainer(spec, tcfg, data, out_dir=str(tmp_path / "run"),
+                 log_every=10**9, val_every=10**9)
+
+    # epoch has ceil(9/8)=2 batches; 2 steps = one full epoch, so the
+    # second step consumes the padded 1-sample remainder
+    state = tr.fit(max_batches=2)
+    assert int(jax.device_get(state["step"])) == 2
+    with open(tmp_path / "run" / "metrics.jsonl") as f:
+        assert not any('"batch_trimmed"' in l for l in f)
+
+    # the pad helper itself: 1 -> 8 by repetition
+    padded = tr._pad_batch(np.ones((1, 3840), np.float32))
+    assert padded.shape == (8, 3840)
+    np.testing.assert_array_equal(padded[0], padded[7])

@@ -24,6 +24,8 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=40)
     ap.add_argument("--seconds", type=float, default=3.0)
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--no-remat-encoder", action="store_true",
+                    help="selective remat: store encoder activations")
     ap.add_argument("--cpu", action="store_true",
                     help="compile for XLA:CPU instead of the TPU chip "
                          "(layout conclusions do NOT transfer)")
@@ -43,7 +45,8 @@ def main(argv=None):
 
     enable_compilation_cache()
     spec = WavTokenizerSpec()
-    tcfg = TrainConfig(remat=not args.no_remat)
+    tcfg = TrainConfig(remat=not args.no_remat,
+                       remat_encoder=not args.no_remat_encoder)
 
     # Shapes only — no device buffers, no execution.
     state = jax.eval_shape(lambda: create_train_state(spec, tcfg, seed=0))
@@ -57,7 +60,7 @@ def main(argv=None):
     compiled = lowered.compile()
     ma = compiled.memory_analysis()
     gib = 1024 ** 3
-    print(f"batch={B} T={T} remat={tcfg.remat} "
+    print(f"batch={B} T={T} remat={tcfg.remat} remat_enc={tcfg.remat_encoder} "
           f"platform={jax.devices()[0].platform}")
     if ma is None:
         print("memory_analysis unavailable on this backend")

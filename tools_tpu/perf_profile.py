@@ -52,8 +52,10 @@ def main(argv=None):
         spec = WavTokenizerSpec()
         params = jax.device_put(init_wavtokenizer(spec, random_codebook=True))
 
-    from wavtokenizer_tpu.utils.profiling import (pipeline_stages,
-                                                  stage_timings, xla_trace)
+    from wavtokenizer_tpu.utils.profiling import (device_peak_flops,
+                                                  pipeline_stages,
+                                                  stage_flops, stage_timings,
+                                                  xla_trace)
 
     B = args.batch
     T = int(spec.sample_rate * args.seconds)
@@ -64,8 +66,14 @@ def main(argv=None):
     print(f"device: {jax.devices()[0].device_kind}  batch={B}  clip={args.seconds}s")
     stages = pipeline_stages(params, spec, audio)
     times = stage_timings(stages, iters=args.iters)
+    flops = stage_flops(stages)
+    peak = device_peak_flops()
+    print(f"  {'stage':13s} {'ms':>8s} {'tflops/s':>9s} {'mfu':>7s}")
     for name, ms in times.items():
-        print(f"  {name:13s} {ms:8.2f} ms")
+        f = flops.get(name, 0.0)
+        tfs = f / (ms / 1e3) / 1e12 if ms > 0 and f > 0 else 0.0
+        mfu = f"{tfs * 1e12 / peak:7.3f}" if peak and tfs else "      -"
+        print(f"  {name:13s} {ms:8.2f} {tfs:9.2f} {mfu}")
     rtf = B * args.seconds / (times["roundtrip"] / 1e3)
     print(f"  realtime factor: {rtf:.0f}x audio-sec/sec/chip")
 

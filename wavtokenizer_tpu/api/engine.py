@@ -5,9 +5,18 @@ through ``encode_infer``/``decode`` individually).  On TPU that wastes the
 chip: XLA programs are compiled per shape and the MXU wants large batches.
 This engine is the TPU-idiomatic serving layer the reference never had:
 
-* **Shape buckets.**  Every request is padded to a small, fixed set of
-  (batch, length) shapes so the device only ever sees pre-compiled
-  programs — no recompiles in the serving path, no dynamic shapes.
+* **Exact-length programs, batch buckets.**  Requests are grouped by their
+  EXACT length and batched along the batch axis only (padding extra batch
+  rows with zeros — rows are independent through every op, so other
+  requests' outputs are untouched).  Length is never padded: zero-padding
+  time changes conv edge frames AND, in the decode path, the pos-net
+  attention softmax over every frame — so the engine serves each distinct
+  length with its own compiled program and is **bit-exact** against
+  ``WavTokenizer.encode_infer``/``decode`` at the clip's natural length
+  (the BASELINE.json 100% token-match north star, engine path included).
+  Programs are LRU-bounded (``max_programs``): serving a bounded set of
+  hot lengths (the common case — fixed-crop corpora, chunked streaming)
+  never recompiles; unbounded length diversity recompiles at the LRU rate.
 * **Dynamic micro-batching.**  A background thread drains a queue,
   coalesces concurrent requests for the same bucket into one device call,
   and fans results back out to per-request futures — the standard
@@ -17,12 +26,10 @@ This engine is the TPU-idiomatic serving layer the reference never had:
   audio-LM serving path = codes_to_features + decode,
   ref decoder/pretrained.py:209-239 then :192-207).
 
-Padding semantics: audio shorter than the bucket is zero-padded and the
-returned token/sample counts are trimmed to the request's true frame count
-(``ceil(T / hop)``, ref encoder/model.py:103).  Tokens therefore match the
-unpadded clip except for conv edge effects inside the final receptive
-field — for bit-exact offline parity use ``WavTokenizer.encode_infer``
-directly with the clip's natural length.
+``clip_seconds`` retains two roles: the largest value caps request length
+(chunk longer audio via api.streaming), and warmup() pre-compiles each
+(batch bucket x clip bucket) so the canonical 3 s shapes never compile in
+the serving path.
 """
 
 from __future__ import annotations
@@ -57,6 +64,9 @@ class EngineConfig:
     # close()).  Cold compiles on this stack can take ~20 min, so any
     # finite default would break first-call-compiles — opt in explicitly.
     request_timeout_s: float | None = None
+    # LRU capacity for exact-length compiled programs (per engine, across
+    # ops).  Each distinct (op, batch bucket, length) holds one executable.
+    max_programs: int = 32
 
 
 @dataclass
@@ -111,6 +121,8 @@ class ServingEngine:
         self.hop = wt.spec.seanet.hop_length
         self.sr = wt.spec.sample_rate
         self.stats = EngineStats()
+        from collections import OrderedDict
+        self._programs: "OrderedDict" = OrderedDict()
         self._q: queue.Queue = queue.Queue(maxsize=config.max_queue)
         self._closed = False
         self._lifecycle = threading.Lock()   # serializes submit vs close
@@ -295,40 +307,36 @@ class ServingEngine:
             self.stats.batches += 1
             self.stats.by_op[op] = self.stats.by_op.get(op, 0) + len(batch)
 
-        payloads = [np.asarray(p) for _, p, _ in batch]
-        if op == "encode":
-            lens = [p.shape[-1] for p in payloads]
-            T = self._bucket_samples(max(lens))
-            B = self._bucket_batch(len(batch))
-            x = np.zeros((B, T), np.float32)
-            for i, p in enumerate(payloads):
-                x[i, :p.shape[-1]] = p
-            feats, codes = self._run_encode(x)
-            for i, (_, _, fut) in enumerate(batch):
-                tp = math.ceil(lens[i] / self.hop)
-                _resolve(fut, (feats[i, :, :tp], codes[0, i, :tp]))
-        elif op == "decode":
-            tps = [p.shape[-1] for p in payloads]
-            Tp = self._bucket_frames(max(tps))
-            B = self._bucket_batch(len(batch))
-            x = np.zeros((B, payloads[0].shape[0], Tp), np.float32)
-            for i, p in enumerate(payloads):
-                x[i, :, :p.shape[-1]] = p
-            wav = self._run_decode(x)
-            for i, (_, _, fut) in enumerate(batch):
-                _resolve(fut, wav[i, :tps[i] * self.hop])
-        else:  # detokenize
-            tps = [p.shape[-1] for p in payloads]
-            Tp = self._bucket_frames(max(tps))
-            B = self._bucket_batch(len(batch))
-            x = np.zeros((B, Tp), np.int32)
-            for i, p in enumerate(payloads):
-                x[i, :p.shape[-1]] = p
-            wav = self._run_detok(x)
-            for i, (_, _, fut) in enumerate(batch):
-                _resolve(fut, wav[i, :tps[i] * self.hop])
+        # Group by EXACT length: time is never padded (bit-exactness — see
+        # module docstring); only batch rows are, and rows are independent.
+        groups: dict = {}
+        for item, p in zip(batch, (np.asarray(p) for _, p, _ in batch)):
+            groups.setdefault(p.shape[-1], []).append((item[2], p))
+        for length, items in groups.items():
+            B = self._bucket_batch(len(items))
+            if op == "encode":
+                x = np.zeros((B, length), np.float32)
+                for i, (_, p) in enumerate(items):
+                    x[i] = p
+                feats, codes = self._run_encode(x)
+                for i, (fut, _) in enumerate(items):
+                    _resolve(fut, (feats[i], codes[0, i]))
+            elif op == "decode":
+                x = np.zeros((B, items[0][1].shape[0], length), np.float32)
+                for i, (_, p) in enumerate(items):
+                    x[i] = p
+                wav = self._run_decode(x)
+                for i, (fut, _) in enumerate(items):
+                    _resolve(fut, wav[i])
+            else:  # detokenize
+                x = np.zeros((B, length), np.int32)
+                for i, (_, p) in enumerate(items):
+                    x[i] = p
+                wav = self._run_detok(x)
+                for i, (fut, _) in enumerate(items):
+                    _resolve(fut, wav[i])
 
-    # ---- device calls (one compiled program per bucket shape) ----------
+    # ---- device calls (one LRU-bounded compiled program per exact shape) --
 
     def _place(self, x):
         """Shard the batch axis over the mesh's 'data' axis (SPMD serving);
@@ -338,14 +346,40 @@ class ServingEngine:
         from ..parallel.mesh import shard_batch
         return shard_batch(self.mesh, x)
 
+    def _program(self, op: str, shape: tuple):
+        """LRU of per-(op, exact shape) jitted programs.  Each entry is its
+        OWN jax.jit instance compiling exactly one shape, so evicting the
+        dict entry releases the executable; the facade's shared jit caches
+        (unbounded across shapes) are bypassed in the serving path."""
+        import jax
+        key = (op, shape)
+        prog = self._programs.pop(key, None)
+        if prog is None:
+            from ..models import wavtokenizer as wtm
+            spec = self.wt.spec
+            if op == "encode":
+                prog = jax.jit(lambda params, audio: wtm.encode_infer(
+                    params, spec, audio))
+            elif op == "decode":
+                prog = jax.jit(lambda params, feats: wtm.decode(
+                    params, spec, feats, 0))
+            else:  # detokenize: codes (K=1, B, T') -> audio
+                prog = jax.jit(lambda params, codes: wtm.decode(
+                    params, spec, wtm.codes_to_features(params, codes), 0))
+        self._programs[key] = prog
+        while len(self._programs) > self.cfg.max_programs:
+            self._programs.popitem(last=False)
+        return prog
+
     def _run_encode(self, x):
         np = self._np
-        feats, codes = self.wt.encode_infer(self._place(x))
+        feats, codes = self._program("encode", x.shape)(
+            self.wt.params, self._place(x))
         return np.asarray(feats), np.asarray(codes)
 
     def _run_decode(self, x):
-        return self._np.asarray(self.wt.decode(self._place(x),
-                                               bandwidth_id=0))
+        return self._np.asarray(self._program("decode", x.shape)(
+            self.wt.params, self._place(x)))
 
     def _run_detok(self, codes):
         np = self._np
@@ -354,5 +388,5 @@ class ServingEngine:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
             x = jax.device_put(x, NamedSharding(self.mesh, P(None, "data")))
-        feats = self.wt.codes_to_features(x)
-        return np.asarray(self.wt.decode(feats, bandwidth_id=0))
+        return np.asarray(self._program("detokenize", x.shape)(
+            self.wt.params, x))

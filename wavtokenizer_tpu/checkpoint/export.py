@@ -208,6 +208,69 @@ def wavtokenizer_state_dict(params: dict, seanet_cfg: SEANetConfig,
     return out
 
 
+def _conv2d_wn_export(out: dict, prefix: str, p: dict,
+                      wn_layout: str = "weight_g") -> None:
+    """Inverse of convert.conv2d_wn_params: (Kh,Kw,I,O) v / (1,1,1,O) g ->
+    torch (O,I,Kh,Kw) weight_v / (O,1,1,1) weight_g."""
+    v = np.transpose(_np(p["v"]), (3, 2, 0, 1))
+    g = _np(p["g"]).reshape(-1, 1, 1, 1)
+    if wn_layout == "weight_g":
+        out[f"{prefix}.weight_g"] = g
+        out[f"{prefix}.weight_v"] = v
+    else:
+        out[f"{prefix}.parametrizations.weight.original0"] = g
+        out[f"{prefix}.parametrizations.weight.original1"] = v
+    out[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def discriminators_export(out: dict, disc: dict,
+                          wn_layout: str = "weight_g") -> None:
+    """Inverse of convert.discriminator_params: Lightning attribute layout
+    multiperioddisc./multiresddisc./dac. (ref: decoder/experiment.py:60-64,
+    discriminator_dac.py WNConv2d Sequentials — hence the '.0' segments)."""
+    def unit(prefix, d, n):
+        for j in range(n):
+            _conv2d_wn_export(out, f"{prefix}.convs.{j}", d["convs"][j],
+                              wn_layout)
+        _conv2d_wn_export(out, f"{prefix}.conv_post", d["conv_post"], wn_layout)
+        if "emb" in d:
+            out[f"{prefix}.emb.weight"] = _np(d["emb"])
+
+    for i, d in enumerate(disc.get("mpd", [])):
+        unit(f"multiperioddisc.discriminators.{i}", d, 5)
+    for i, d in enumerate(disc.get("mrd", [])):
+        unit(f"multiresddisc.discriminators.{i}", d, 5)
+    for i, d in enumerate(disc.get("dac_mpd", [])):
+        p = f"dac.discriminators.{i}"
+        for j in range(5):
+            _conv2d_wn_export(out, f"{p}.convs.{j}.0", d["convs"][j], wn_layout)
+        _conv2d_wn_export(out, f"{p}.conv_post", d["conv_post"], wn_layout)
+    for i, d in enumerate(disc.get("dac_mrd", [])):
+        p = f"dac.discriminators.{i + 5}"
+        for b, stack in enumerate(d["bands"]):
+            for j in range(5):
+                _conv2d_wn_export(out, f"{p}.band_convs.{b}.{j}.0", stack[j],
+                                  wn_layout)
+        _conv2d_wn_export(out, f"{p}.conv_post", d["conv_post"], wn_layout)
+
+
+def export_training_state_dict(state: dict, spec,
+                               wn_layout: str = "weight_g") -> dict:
+    """Full TRAIN state -> reference Lightning state_dict (generator +
+    quantizer EMA buffers + all three discriminator families), loadable by
+    the reference's surgical resume (decoder/experiment.py:398-445) and by
+    our own surgical_train_state — the round-trip interop for moving a
+    training run between frameworks."""
+    from ..train.step import state_to_inference_params
+
+    params = state_to_inference_params(state, spec)
+    out = wavtokenizer_state_dict(params, spec.seanet, spec.backbone,
+                                  head_n_fft=spec.head.n_fft,
+                                  wn_layout=wn_layout)
+    discriminators_export(out, state["disc"], wn_layout)
+    return out
+
+
 def save_torch_checkpoint(path: str, state_dict: dict) -> None:
     """Write a Lightning-style checkpoint ({'state_dict': tensors}) the
     reference's from_pretrained0802 consumes directly."""

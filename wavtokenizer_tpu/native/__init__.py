@@ -51,7 +51,7 @@ def load_library():
         lib.wtl_create.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_ulonglong]
+            ctypes.c_int, ctypes.c_ulonglong, ctypes.c_longlong]
         lib.wtl_next.restype = ctypes.c_int
         lib.wtl_next.argtypes = [ctypes.c_void_p,
                                  ctypes.POINTER(ctypes.c_float)]
@@ -118,13 +118,16 @@ class NativeDataLoader:
                  num_samples: int = 72000, batch_size: int = 40,
                  train: bool = True, shuffle: bool | None = None,
                  drop_last: bool = True, num_threads: int = 4,
-                 queue_cap: int = 4, seed: int = 0):
+                 queue_cap: int = 4, seed: int = 0, start_seq: int = 0):
+        """``start_seq`` fast-forwards the deterministic stream to global
+        batch index N without decoding — exact mid-run resume positioning
+        (batch composition/crops are pure functions of (seed, seq))."""
         self._lib = load_library()
         joined = "\n".join(filelist).encode()
         self._h = self._lib.wtl_create(
             joined, sample_rate, num_samples, batch_size, int(train),
             int(train if shuffle is None else shuffle), int(drop_last),
-            num_threads, queue_cap, seed)
+            num_threads, queue_cap, seed, start_seq)
         if not self._h:
             raise ValueError("empty filelist or bad batch size")
         self.batch_size = batch_size

@@ -296,9 +296,14 @@ struct Loader {
       long epoch = seq / bpe, b = seq % bpe;
       auto order = epoch_order(epoch);
       std::vector<float> buf((size_t)batch_size * num_samples, 0.f);
+      long avail = (long)order.size() - b * batch_size;
+      if (avail > batch_size) avail = batch_size;
       for (int i = 0; i < batch_size; ++i) {
-        long pos = b * batch_size + i;
-        if (pos >= (long)order.size()) break;  // tail batch (!drop_last)
+        // Tail batch (!drop_last): repeat-pad from the batch's own items so
+        // shapes stay static and no row trains as silence (matches the
+        // trainer's _pad_batch semantics for the python loader).
+        long pos = b * batch_size + (avail > 0 ? i % avail : 0);
+        if (pos >= (long)order.size()) break;
         load_item(epoch, order[(size_t)pos], buf.data() + (size_t)i * num_samples);
       }
       {
@@ -340,9 +345,15 @@ struct Loader {
 
 extern "C" {
 
+// start_seq fast-forwards the deterministic batch stream without decoding:
+// batch `seq` is a pure function of (seed, seq) — epoch = seq / bpe, order =
+// epoch_order(epoch), items seeded by (seed, epoch, index) — so a resumed
+// training run positions the loader exactly where the interrupted run
+// stopped by passing its global step count here.
 void* wtl_create(const char* filelist, int sample_rate, int num_samples,
                  int batch_size, int train, int shuffle, int drop_last,
-                 int num_threads, int queue_cap, unsigned long long seed) {
+                 int num_threads, int queue_cap, unsigned long long seed,
+                 long long start_seq) {
   auto* L = new Loader();
   const char* p = filelist;
   while (*p) {
@@ -360,6 +371,7 @@ void* wtl_create(const char* filelist, int sample_rate, int num_samples,
   L->drop_last = drop_last != 0;
   L->seed = seed;
   L->queue_cap = queue_cap > 0 ? queue_cap : 4;
+  if (start_seq > 0) L->next_produce = L->next_consume = (long)start_seq;
   L->start(num_threads > 0 ? num_threads : 4);
   return L;
 }

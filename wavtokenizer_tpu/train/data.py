@@ -97,11 +97,18 @@ class WavDataset:
         return len(self.filelist)
 
     def __getitem__(self, index: int) -> np.ndarray:
+        return self.sample(index, self.rng)
+
+    def sample(self, index: int, rng) -> np.ndarray:
+        """Load one crop using an explicit RNG.  The loader passes a
+        stateless per-(epoch, index) generator so an interrupted-and-resumed
+        run replays the exact gain/crop stream of an uninterrupted one;
+        plain indexing keeps the legacy stateful RNG."""
         cfg = self.cfg
         y, sr = read_audio(self.filelist[index])
         if y.ndim > 1:  # mix to mono
             y = y.mean(axis=-1)
-        gain = self.rng.uniform(-6, -1) if self.train else -3.0
+        gain = rng.uniform(-6, -1) if self.train else -3.0
         y = sox_norm(y, gain)
         if sr != cfg.sampling_rate:
             y = resample_np(y, sr, cfg.sampling_rate)
@@ -110,7 +117,7 @@ class WavDataset:
             reps = 1 + (cfg.num_samples - n) // n
             y = np.concatenate([y] + [y] * reps)[:cfg.num_samples]
         elif self.train:
-            start = self.rng.integers(0, n - cfg.num_samples + 1)
+            start = rng.integers(0, n - cfg.num_samples + 1)
             y = y[start:start + cfg.num_samples]
         else:
             y = y[:cfg.num_samples]
@@ -118,14 +125,27 @@ class WavDataset:
 
 
 def data_loader(dataset: WavDataset, batch_size: int, shuffle: bool,
-                seed: int = 0, drop_last: bool = True):
-    """Simple epoch iterator yielding (B, num_samples) float32 batches."""
+                seed: int = 0, drop_last: bool = True, skip_batches: int = 0):
+    """Simple epoch iterator yielding (B, num_samples) float32 batches.
+
+    ``skip_batches`` fast-forwards the shuffle/crop stream WITHOUT decoding
+    audio — index bookkeeping only — so a resumed run's loader is positioned
+    exactly where the interrupted run stopped.  Crops/gains are stateless
+    per (seed, epoch, file-index) via :meth:`WavDataset.sample`."""
     rng = np.random.default_rng(seed)
     n = len(dataset)
+    epoch = 0
     while True:
         order = rng.permutation(n) if shuffle else np.arange(n)
         for i in range(0, n - (batch_size - 1 if drop_last else 0), batch_size):
             idx = order[i:i + batch_size]
             if drop_last and len(idx) < batch_size:
                 break
-            yield np.stack([dataset[int(j)] for j in idx])
+            if skip_batches > 0:
+                skip_batches -= 1
+                continue
+            yield np.stack([
+                dataset.sample(int(j),
+                               np.random.default_rng((seed, epoch, int(j))))
+                for j in idx])
+        epoch += 1

@@ -53,21 +53,33 @@ DAC_FFT_SIZES = (2048, 1024, 512)
 DAC_BANDS = ((0.0, 0.1), (0.1, 0.25), (0.25, 0.5), (0.5, 0.75), (0.75, 1.0))
 
 
-def init_discriminators(seed: int = 0, num_embeddings: int | None = 4) -> dict:
-    """Init all three discriminator families (ref: experiment.py:387-389)."""
+def init_discriminators(seed: int = 0, num_embeddings: int | None = 4,
+                        channels_scale: float = 1.0) -> dict:
+    """Init all three discriminator families (ref: experiment.py:387-389).
+
+    ``channels_scale`` shrinks every hidden channel count (min 1) while
+    keeping all families / periods / resolutions / bands structurally
+    intact — the forward fns read widths from the params, so a scaled tree
+    runs the same graph shape.  Structural dry runs (__graft_entry__) use
+    ~1/16 so the full GAN-step compile fits the driver's budget; training
+    always uses 1.0 (the reference's widths)."""
     rng = np.random.default_rng(seed)
     params = {"mpd": [], "mrd": [], "dac_mpd": [], "dac_mrd": []}
 
+    def s(c: int) -> int:
+        return max(1, int(round(c * channels_scale)))
+
     for _p in VOCOS_MPD_PERIODS:
-        chans = [(1, 32), (32, 128), (128, 512), (512, 1024), (1024, 1024)]
+        chans = [(1, s(32)), (s(32), s(128)), (s(128), s(512)),
+                 (s(512), s(1024)), (s(1024), s(1024))]
         d = {"convs": [_conv2d_wn_init(rng, 5, 1, ci, co) for ci, co in chans],
-             "conv_post": _conv2d_wn_init(rng, 3, 1, 1024, 1)}
+             "conv_post": _conv2d_wn_init(rng, 3, 1, s(1024), 1)}
         if num_embeddings is not None:
-            d["emb"] = np.zeros((num_embeddings, 1024), np.float32)
+            d["emb"] = np.zeros((num_embeddings, s(1024)), np.float32)
         params["mpd"].append(d)
 
     for _r in VOCOS_MRD_RESOLUTIONS:
-        ch = 64
+        ch = s(64)
         specs = [(7, 5, 1, ch), (5, 3, ch, ch), (5, 3, ch, ch), (3, 3, ch, ch),
                  (3, 3, ch, ch)]
         d = {"convs": [_conv2d_wn_init(rng, kh, kw, ci, co)
@@ -78,13 +90,14 @@ def init_discriminators(seed: int = 0, num_embeddings: int | None = 4) -> dict:
         params["mrd"].append(d)
 
     for _p in DAC_PERIODS:
-        chans = [(1, 32), (32, 128), (128, 512), (512, 1024), (1024, 1024)]
+        chans = [(1, s(32)), (s(32), s(128)), (s(128), s(512)),
+                 (s(512), s(1024)), (s(1024), s(1024))]
         params["dac_mpd"].append(
             {"convs": [_conv2d_wn_init(rng, 5, 1, ci, co) for ci, co in chans],
-             "conv_post": _conv2d_wn_init(rng, 3, 1, 1024, 1)})
+             "conv_post": _conv2d_wn_init(rng, 3, 1, s(1024), 1)})
 
     for _f in DAC_FFT_SIZES:
-        ch = 32
+        ch = s(32)
         band_convs = []
         for _b in DAC_BANDS:
             band_convs.append([

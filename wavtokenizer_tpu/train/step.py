@@ -60,6 +60,12 @@ class TrainConfig:
     # 13.19 GiB peak on-chip (~20.6 GiB raw without remat) — the full
     # reference batch fits a 16 GB v5e; see tools_tpu/mem_probe.py.
     remat: bool = True
+    # Selective remat (VERDICT r2 Next #5): skip rematerializing the
+    # encoder stack — its lane-packed narrow activations are cheap to
+    # store — while keeping the wide backbone + discriminator remat.
+    # Spends part of the batch-40 headroom to recover forward FLOPs;
+    # see CLAUDE.md "Training memory" for the measured numbers.
+    remat_encoder: bool = True
     # Training-time dropout inside the backbone pos-net resblocks
     # (the reference trains with 0.1, decoder/models.py:200).
     pos_dropout: float = 0.1
@@ -71,6 +77,11 @@ class TrainConfig:
     evaluate_utmos: bool = True
     evaluate_pesq: bool = True
     evaluate_periodicity: bool = True
+    # Discriminator hidden-width multiplier.  1.0 = the reference's widths
+    # (always, for real training).  Structural dry runs shrink it (~1/16)
+    # so the full GAN-step graph cold-compiles within the driver's budget
+    # while every family/period/resolution/band stays present.
+    disc_channels_scale: float = 1.0
 
 
 def cosine_schedule_with_warmup(base_lr: float, num_warmup_steps: int,
@@ -107,7 +118,8 @@ def create_train_state(spec: WavTokenizerSpec, tcfg: TrainConfig,
         "head": params["head"],
     }
     disc = init_discriminators(seed=seed + 1,
-                               num_embeddings=tcfg.num_bandwidths)
+                               num_embeddings=tcfg.num_bandwidths,
+                               channels_scale=tcfg.disc_channels_scale)
     vq = params["quantizer"]
     opt_disc, opt_gen = make_optimizers(tcfg)
     state = {
@@ -125,7 +137,8 @@ def create_train_state(spec: WavTokenizerSpec, tcfg: TrainConfig,
 def generator_forward(gen: dict, vq: dict, spec: WavTokenizerSpec,
                       audio: jnp.ndarray, bandwidth_id, key, n_q: int,
                       remat: bool = False, dropout_rng=None,
-                      dropout_rate: float = 0.0):
+                      dropout_rate: float = 0.0,
+                      remat_encoder: bool | None = None):
     """Training forward: encoder -> VQ(train) -> backbone -> head
     (ref: experiment.py:114-119 via feature_extractors.py:105-119).
 
@@ -137,7 +150,8 @@ def generator_forward(gen: dict, vq: dict, spec: WavTokenizerSpec,
     ``dropout_rng`` enables the reference's pos-net Dropout(0.1) during
     training (decoder/models.py:200); validation passes None."""
     enc = fold_tree(gen["encoder"])
-    emb = seanet_encode(enc, spec.seanet, audio[:, :, None], remat=remat)
+    remat_enc = remat if remat_encoder is None else (remat and remat_encoder)
+    emb = seanet_encode(enc, spec.seanet, audio[:, :, None], remat=remat_enc)
     quantized, codes, commit, new_vq = vq_train_forward(vq, spec.vq, emb, key,
                                                         n_q=n_q)
     h = vocos_backbone(gen["backbone"], spec.backbone, quantized, fused=False,
@@ -166,11 +180,12 @@ def _disc_loss_fn(disc, audio_hat, audio, bandwidth_id, mrd_coeff,
 
 def _gen_loss_fn(gen, disc, vq, spec, audio, bandwidth_id, key, n_q,
                  mel_coeff, mrd_coeff, train_discriminator, remat=False,
-                 dropout_rng=None, dropout_rate=0.0):
+                 dropout_rng=None, dropout_rate=0.0, remat_encoder=None):
     """ref: experiment.py:151-218."""
     audio_hat, commit_loss, new_vq = generator_forward(
         gen, vq, spec, audio, bandwidth_id, key, n_q, remat=remat,
-        dropout_rng=dropout_rng, dropout_rate=dropout_rate)
+        dropout_rng=dropout_rng, dropout_rate=dropout_rate,
+        remat_encoder=remat_encoder)
     l_mel = mel_loss(audio_hat, audio, spec.sample_rate)
     metrics = {"mel_loss": l_mel, "commit_loss": commit_loss}
     loss = mel_coeff * l_mel + 1000.0 * commit_loss
@@ -214,7 +229,8 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
         audio_hat_d, _, vq = generator_forward(
             state["gen"], vq, spec, audio, bandwidth_id, k_vq1, n_q,
             remat=tcfg.remat,  # dense packed layer boundaries (no grads here)
-            dropout_rng=k_drop1, dropout_rate=tcfg.pos_dropout)
+            dropout_rng=k_drop1, dropout_rate=tcfg.pos_dropout,
+            remat_encoder=tcfg.remat_encoder)
         audio_hat_d = jax.lax.stop_gradient(audio_hat_d)
         vq = jax.lax.stop_gradient(vq)
 
@@ -242,7 +258,8 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
         _gen_loss_fn, has_aux=True)(state["gen"], disc, vq, spec, audio,
                                     bandwidth_id, k_vq2, n_q, mel_coeff,
                                     tcfg.mrd_loss_coeff, train_discriminator,
-                                    tcfg.remat, k_drop2, tcfg.pos_dropout)
+                                    tcfg.remat, k_drop2, tcfg.pos_dropout,
+                                    tcfg.remat_encoder)
     g_updates, new_opt_gen = opt_gen_tx.update(g_grads, state["opt_gen"],
                                                state["gen"])
     gen = optax.apply_updates(state["gen"], g_updates)

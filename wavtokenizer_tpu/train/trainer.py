@@ -74,6 +74,75 @@ def train_config_from_yaml(config: dict) -> tuple[WavTokenizerSpec, TrainConfig,
             data_cfg(data.get("val_params")))
 
 
+def resume_from_yaml(config: dict) -> tuple[str | None, str | None]:
+    """The reference's surgical-resume config keys (ref:
+    configs/...yaml:35-37 `resume/resume_config/resume_model`, consumed by
+    decoder/experiment.py:398-445).  Returns (resume_config, resume_model)
+    when `resume: true`, else (None, None)."""
+    init = config.get("model", {}).get("init_args", {})
+    if not init.get("resume"):
+        return None, None
+    return init.get("resume_config"), init.get("resume_model")
+
+
+def surgical_train_state(spec: WavTokenizerSpec, tcfg: TrainConfig,
+                         sd: dict, seed: int = 3407,
+                         keep_quantizer_layers: int = 8) -> dict:
+    """Fresh train state with per-submodule weights grafted from a torch
+    Lightning checkpoint's state_dict (ref: decoder/experiment.py:398-445):
+    encoder / decoder / quantizer (layers < 8 only — the reference quirk) /
+    backbone / head, plus the discriminators when the checkpoint carries
+    them.  Optimizer moments restart at zero exactly like the reference
+    (it reloads module weights only).
+
+    The torch checkpoint stores weight-norm convs as (v, g); the converter
+    folds them, and the graft re-decomposes as v=kernel, g=||kernel|| —
+    forward-identical (v/||v||*g == kernel since ||v|| == g)."""
+    from ..checkpoint.convert import surgical_resume_params
+    from ..models.seanet import encoder_layer_specs as _enc_specs
+
+    state = create_train_state(spec, tcfg, seed=seed)
+    p = surgical_resume_params(sd, spec.seanet, spec.vq.n_q, spec.backbone,
+                               keep_quantizer_layers=keep_quantizer_layers)
+    from .wnorm import seanet_to_weight_norm
+    gen = dict(state["gen"])
+    gen["encoder"] = seanet_to_weight_norm(p["encoder"],
+                                           _enc_specs(spec.seanet))
+    gen["backbone"] = p["backbone"]
+    gen["head"] = p["head"]
+    state["gen"] = gen
+    state["decoder"] = p["decoder"]
+    vq = dict(state["vq"])
+    kept = min(spec.vq.n_q, keep_quantizer_layers)
+    for k, v in p["quantizer"].items():
+        if k in vq:
+            cur = np.array(jax.device_get(vq[k]))  # writable copy
+            cur[:kept] = np.asarray(v)[:kept]
+            vq[k] = jnp.asarray(cur)
+    state["vq"] = vq
+    if "discriminators" in p:
+        # per-unit merge: a checkpoint without conditional `emb` tables (or
+        # without the DAC family) keeps those pieces freshly initialized
+        disc = dict(state["disc"])
+        for fam, units in p["discriminators"].items():
+            if fam not in disc:
+                continue
+            merged = []
+            for fresh, loaded in zip(disc[fam], units):
+                unit = dict(fresh) if isinstance(fresh, dict) else loaded
+                if isinstance(fresh, dict):
+                    unit.update(jax.tree.map(jnp.asarray, loaded))
+                merged.append(unit)
+            disc[fam] = merged
+        state["disc"] = disc
+    # grafted pytrees must keep the optimizer-state structure valid
+    from .step import make_optimizers
+    opt_disc_tx, opt_gen_tx = make_optimizers(tcfg)
+    state["opt_gen"] = opt_gen_tx.init(state["gen"])
+    state["opt_disc"] = opt_disc_tx.init(state["disc"])
+    return jax.tree.map(jnp.asarray, state)
+
+
 def save_checkpoint(path: str, state: dict) -> None:
     """Orbax checkpoint of the full train state."""
     import orbax.checkpoint as ocp
@@ -97,7 +166,7 @@ class Trainer:
                  out_dir: str = "runs/default", seed: int = 3407,
                  log_every: int = 100, val_every: int = 10_000,
                  save_top_k: int = 10, limit_val_batches: int = 100,
-                 model_parallel: int = 1):
+                 model_parallel: int = 1, log_media_every: int = 1000):
         self.spec, self.tcfg = spec, tcfg
         self.train_data, self.val_data = train_data, val_data
         self.out_dir = out_dir
@@ -106,6 +175,7 @@ class Trainer:
         self.val_every = val_every
         self.save_top_k = save_top_k
         self.limit_val_batches = limit_val_batches
+        self.log_media_every = log_media_every
         self.model_parallel = int(os.environ.get("WT_MODEL_PARALLEL",
                                                  model_parallel))
         # Data-parallel over all local devices (the faithful equivalent of
@@ -200,6 +270,23 @@ class Trainer:
             [stoi(r, d, 16000) for r, d in zip(ref16, deg16)]))
         return out
 
+    def _ensure_val_step(self) -> None:
+        """One jitted program for the whole eval forward: the eager version
+        dispatched thousands of ops per batch (encoder + VQ + backbone +
+        head one op at a time), stalling training for minutes per
+        validation pass on slow hosts."""
+        if hasattr(self, "_val_step"):
+            return
+        spec = self.spec
+
+        @jax.jit
+        def _val_step(gen, vq, audio, key):
+            audio_hat, commit, _ = generator_forward(
+                gen, vq, spec, audio, jnp.zeros((), jnp.int32), key, n_q=1)
+            return mel_loss(audio_hat, audio, spec.sample_rate), commit, \
+                audio_hat
+        self._val_step = _val_step
+
     def validate(self, state: dict, val_iter, step: int) -> float:
         """val_loss = mel + (5 - utmos) + (5 - pesq) + 1000*commit
         (ref: experiment.py:257-258; utmos/pesq contribute 0 scores when
@@ -213,19 +300,7 @@ class Trainer:
         key = jax.random.PRNGKey(self.seed + step)
         spec = self.spec
 
-        # One jitted program for the whole eval forward: the eager version
-        # dispatched thousands of ops per batch (encoder + VQ + backbone +
-        # head one op at a time), stalling training for minutes per
-        # validation pass on slow hosts.
-        if not hasattr(self, "_val_step"):
-            @jax.jit
-            def _val_step(gen, vq, audio, key):
-                audio_hat, commit, _ = generator_forward(
-                    gen, vq, spec, audio, jnp.zeros((), jnp.int32), key,
-                    n_q=1)
-                return mel_loss(audio_hat, audio, spec.sample_rate), commit, \
-                    audio_hat
-            self._val_step = _val_step
+        self._ensure_val_step()
 
         if not hasattr(self, "_resynth_step"):
             from ..models.quantize import vq_infer
@@ -292,11 +367,17 @@ class Trainer:
 
     # ---------------------------------------------------------------- train
 
-    def _make_train_iter(self):
+    def _make_train_iter(self, skip_batches: int = 0):
         """Native C++ threaded loader when the toolchain allows and every
         file is a .wav (native/wt_data_loader.cc); pure-Python pipeline
         otherwise.  Both implement the same decode/norm/resample/crop
-        contract (ref: decoder/dataset.py:44-84)."""
+        contract (ref: decoder/dataset.py:44-84).
+
+        ``skip_batches`` positions the stream for a resumed run with no
+        audio decoded: both loaders derive batch composition/crops as pure
+        functions of (seed, global batch index), so the fast-forward is
+        index bookkeeping only (python: data_loader skip_batches; native:
+        wtl_create start_seq)."""
         cfg = self.train_data
         with open(cfg.filelist_path) as f:
             files = [l for l in f.read().splitlines() if l.strip()]
@@ -307,41 +388,76 @@ class Trainer:
                     files, sample_rate=cfg.sampling_rate,
                     num_samples=cfg.num_samples, batch_size=cfg.batch_size,
                     train=True, num_threads=max(2, cfg.num_workers),
-                    seed=self.seed)
+                    seed=self.seed, start_seq=skip_batches,
+                    # the reference trains on the full final batch (torch
+                    # DataLoader default); the C++ tail batch repeat-pads
+                    drop_last=False)
                 self.log({"event": "native_loader", "files": len(files)})
                 return iter(loader)
             except Exception as e:  # no g++ / build failure -> python path
                 self.log({"event": "native_loader_unavailable", "error": str(e)})
         ds = WavDataset(cfg, train=True, seed=self.seed)
-        return data_loader(ds, cfg.batch_size, shuffle=True, seed=self.seed)
+        # drop_last=False: the reference's DataLoader trains on the full
+        # final batch (torch default); fit() repeat-pads it to batch_size so
+        # no sample is silently dropped and jit shapes stay static.
+        return data_loader(ds, cfg.batch_size, shuffle=True, seed=self.seed,
+                           drop_last=False, skip_batches=skip_batches)
 
-    def fit(self, max_batches: int | None = None, state: dict | None = None):
+    def resume_state(self, path: str) -> dict:
+        """Restore a full train state from an orbax checkpoint (crash
+        resume — the `trainer.fit(ckpt_path=...)` Lightning equivalent;
+        the step counter restarts the loop exactly where it stopped)."""
+        template = create_train_state(self.spec, self.tcfg, seed=self.seed)
+        state = load_checkpoint(path, template)
+        self.log({"event": "resume", "path": path,
+                  "step": int(np.asarray(state["step"]))})
+        return state
+
+    def _pad_batch(self, batch: np.ndarray) -> np.ndarray:
+        """Repeat-pad an underfull final batch to the configured batch size:
+        the reference trains on the full last batch (torch DataLoader
+        drop_last=False); padding keeps jit shapes static with no silent
+        sample loss.  The wrapped-around duplicates are slightly
+        overweighted in that one step's mean loss (documented in PARITY.md)."""
+        want = self.train_data.batch_size
+        if batch.shape[0] >= want:
+            return batch
+        reps = -(-want // batch.shape[0])
+        return np.concatenate([batch] * reps, axis=0)[:want]
+
+    def fit(self, max_batches: int | None = None, state: dict | None = None,
+            resume_path: str | None = None):
         spec, tcfg = self.spec, self.tcfg
         if state is None:
-            state = create_train_state(spec, tcfg, seed=self.seed)
+            state = (self.resume_state(resume_path) if resume_path
+                     else create_train_state(spec, tcfg, seed=self.seed))
         if self.mesh is not None:
             state = shard_train_state(self.mesh, state)
             self.log({"event": "mesh", "data": self.mesh.shape["data"],
                       "model": self.mesh.shape["model"]})
-        train_iter = self._make_train_iter()
+        total = max_batches if max_batches is not None else tcfg.max_steps // 2
+        start = int(np.asarray(jax.device_get(state["step"])))
+        # Mid-run resume: position the loader at the batch the interrupted
+        # run would have consumed next.
+        train_iter = self._make_train_iter(skip_batches=start)
         val_iter = None
         if self.val_data is not None:
             val_ds = WavDataset(self.val_data, train=False, seed=self.seed)
             val_iter = data_loader(val_ds, self.val_data.batch_size,
                                    shuffle=False, seed=self.seed)
-
-        total = max_batches if max_batches is not None else tcfg.max_steps // 2
-        key = jax.random.PRNGKey(self.seed)
-        nq_rng = np.random.default_rng(self.seed + 1)
+        base_key = jax.random.PRNGKey(self.seed)
         t_last = time.time()
-        for step in range(int(state["step"]), total):
-            batch = next(train_iter)
-            key, sub = jax.random.split(key)
+        for step in range(start, total):
+            batch = self._pad_batch(np.asarray(next(train_iter)))
+            # Per-step stateless RNG (fold_in) so an interrupted-and-resumed
+            # run replays the identical key/n_q stream as an uninterrupted one.
+            sub = jax.random.fold_in(base_key, step)
             train_disc = step >= tcfg.pretrain_mel_steps
             mel_coeff = mel_coeff_decay(tcfg, step + 1)
             # Multi-quantizer configs randomize n_q over [4, 6, 8] per step
             # (ref: vq.py:103-108); a no-op for the shipped n_q=1 models.
-            n_q = (min(int(nq_rng.choice([4, 6, 8])), spec.vq.n_q)
+            n_q = (min(int(np.random.default_rng(
+                (self.seed + 1, step)).choice([4, 6, 8])), spec.vq.n_q)
                    if spec.vq.n_q > 1 else 1)
             state, metrics = train_step(state, self._place_batch(batch), sub, spec,
                                         tcfg, mel_coeff=mel_coeff,
@@ -357,11 +473,32 @@ class Trainer:
                 self.log(rec)
                 self.tb.scalars({k: v for k, v in rec.items() if k != "step"},
                                 step)
+            if step > 0 and step % self.log_media_every == 0:
+                self._log_train_media(state, batch, step)
             if val_iter is not None and step > 0 and step % self.val_every == 0:
                 val_loss = self.validate(state, val_iter, step)
                 self._save_topk(state, step, val_loss)
+                # crash-resume anchor, like Lightning's save_last
+                save_checkpoint(os.path.join(self.out_dir, "last"), state)
         save_checkpoint(os.path.join(self.out_dir, "last"), state)
         return state
+
+    def _log_train_media(self, state: dict, batch: np.ndarray, step: int) -> None:
+        """Audio + mel-spectrogram TB media every `log_media_every` TRAINING
+        steps (ref: decoder/experiment.py:195-216 logs both every 1000
+        steps); recomputed with one extra jitted forward so train_step's
+        outputs stay scalar-only."""
+        self._ensure_val_step()
+        audio = self._place_batch(batch[:1])
+        _, _, audio_hat = self._val_step(state["gen"], state["vq"], audio,
+                                         jax.random.fold_in(
+                                             jax.random.PRNGKey(self.seed), step))
+        sr = self.spec.sample_rate
+        self.tb.audio_and_spectrogram("train/reconstructed",
+                                      np.asarray(audio_hat[0]), sr, step)
+        self.tb.audio_and_spectrogram("train/original",
+                                      np.asarray(audio[0]), sr, step)
+        self.tb.flush()
 
     def export_inference_params(self, state: dict) -> dict:
         return state_to_inference_params(state, self.spec)

@@ -50,6 +50,41 @@ def stage_timings(stages: dict[str, tuple[Callable, tuple]], iters: int = 20,
     return out
 
 
+# Peak dense-matmul throughput per chip, bf16 (the TPU roofline; f32 convs
+# lower through the same MXU).  Keyed by jax device_kind.
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12, "TPU v5e": 197e12,
+    "TPU v4": 275e12, "TPU v4 lite": 137e12,
+    "TPU v3": 123e12, "TPU v6 lite": 918e12, "TPU v6e": 918e12,
+}
+
+
+def device_peak_flops() -> float | None:
+    import jax
+    return PEAK_FLOPS.get(jax.devices()[0].device_kind)
+
+
+def stage_flops(stages: dict[str, tuple[Callable, tuple]]) -> dict[str, float]:
+    """XLA cost-analysis FLOPs per stage (0.0 when the backend reports
+    none, e.g. XLA:CPU).  Combine with stage_timings for per-stage MFU:
+    the roofline attribution that picks the next kernel to optimize
+    (VERDICT r2 Next #10)."""
+    import jax
+
+    out = {}
+    for name, (fn, args) in stages.items():
+        try:
+            compiled = jax.jit(fn).lower(*args).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+            out[name] = flops if np.isfinite(flops) and flops > 0 else 0.0
+        except Exception:
+            out[name] = 0.0
+    return out
+
+
 def _reduce_to_scalar(tree):
     import jax
     import jax.numpy as jnp
