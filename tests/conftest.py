@@ -28,7 +28,13 @@ jax.config.update("jax_platforms", "cpu")
 
 from wavtokenizer_tpu.utils.cache import enable_compilation_cache
 
-enable_compilation_cache()
+# readonly: the pytest process lives through ~170 tests, and XLA:CPU's
+# native executable serialize segfaults in long-lived processes (observed
+# r2 + r3, ~150 tests in; see utils/cache.py guard 4).  Cache READS stay
+# on (warm suite).  Warming happens in short-lived processes: the
+# subprocess-based tests here, and tools_tpu/warm_cache.py after
+# compile-relevant code changes.
+enable_compilation_cache(readonly=True)
 
 import numpy as np
 import pytest

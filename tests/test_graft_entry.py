@@ -73,3 +73,33 @@ def test_dryrun_repo_cache_then_warm():
         f"warm dryrun took {wall2:.0f}s (budget 210s) — the persistent "
         "compilation cache did not serve; check utils/xla_flags.py values "
         "are identical across conftest.py / __graft_entry__.py")
+
+
+def test_dryrun_driver_preforced_mesh_stays_warm():
+    """A driver that launches us with its OWN 8-device CPU mesh flags
+    (no collective timeouts, non-canonical string) must still hit the warm
+    cache: dryrun_multichip re-execs with the canonical XLA_FLAGS instead
+    of compiling in-process under a mismatched cache key.  Runs after
+    test_dryrun_repo_cache_then_warm so the repo cache is warm."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.pop("WT_JAX_CACHE_DIR", None)
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "assert len(jax.devices()) == 8, jax.devices();"
+        "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
+    )
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, "-u", "-c", code], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=900)
+    wall = time.perf_counter() - t0
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    assert "dryrun_multichip ok" in proc.stdout
+    assert "re-exec with canonical flags" in proc.stdout, (
+        "the dryrun ran in-process on a backend latched under non-canonical "
+        "flags — its DebugOptions can never hit the canonical warm cache")
+    assert wall <= 210, (
+        f"pre-forced-mesh dryrun took {wall:.0f}s (budget 210s) — the "
+        "canonical re-exec is engaged but the warm cache did not serve")
