@@ -281,8 +281,13 @@ def bench_train_step():
     spec = WavTokenizerSpec()
     # BENCH_TRAIN_REMAT_ENC=0 measures the selective-remat variant (encoder
     # activations stored, backbone+disc remat — TrainConfig.remat_encoder).
+    # BENCH_TRAIN_DISC_DTYPE=bfloat16 measures the mixed-precision variant
+    # (discriminator conv stacks in bf16 — TrainConfig.disc_compute_dtype;
+    # master params/losses/grads stay f32).
     tcfg = TrainConfig(
-        remat_encoder=os.environ.get("BENCH_TRAIN_REMAT_ENC", "1") == "1")
+        remat_encoder=os.environ.get("BENCH_TRAIN_REMAT_ENC", "1") == "1",
+        disc_compute_dtype=os.environ.get("BENCH_TRAIN_DISC_DTYPE",
+                                          "float32"))
     state = jax.device_put(create_train_state(spec, tcfg, seed=0))
     B, SECONDS = int(os.environ.get("BENCH_TRAIN_BATCH", 40)), 3.0
     T = int(spec.sample_rate * SECONDS)

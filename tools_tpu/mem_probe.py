@@ -26,6 +26,9 @@ def main(argv=None):
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--no-remat-encoder", action="store_true",
                     help="selective remat: store encoder activations")
+    ap.add_argument("--disc-dtype", default="float32",
+                    help="discriminator compute dtype (mixed precision; "
+                         "e.g. bfloat16)")
     ap.add_argument("--cpu", action="store_true",
                     help="compile for XLA:CPU instead of the TPU chip "
                          "(layout conclusions do NOT transfer)")
@@ -46,7 +49,8 @@ def main(argv=None):
     enable_compilation_cache()
     spec = WavTokenizerSpec()
     tcfg = TrainConfig(remat=not args.no_remat,
-                       remat_encoder=not args.no_remat_encoder)
+                       remat_encoder=not args.no_remat_encoder,
+                       disc_compute_dtype=args.disc_dtype)
 
     # Shapes only — no device buffers, no execution.
     state = jax.eval_shape(lambda: create_train_state(spec, tcfg, seed=0))

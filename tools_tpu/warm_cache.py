@@ -34,6 +34,7 @@ HEAVY_FILES = (
     "tests/test_resume.py",
     "tests/test_parallel.py",
     "tests/test_graft_entry.py",
+    "tests/test_mixed_precision.py",
 )
 
 

@@ -32,6 +32,22 @@ def _lrelu(x):
     return jax.nn.leaky_relu(x, LRELU_SLOPE)
 
 
+def _cast_floats(tree, dtype):
+    """Cast every (floating) leaf to the GAN compute dtype; None = identity.
+
+    Mixed-precision training support: the three discriminator families are
+    ~80% of the GAN step's FLOPs and none of them touch the bit-exact
+    encoder/VQ invariant, so running their convs in bfloat16 doubles their
+    MXU rate (f32 matmuls run at half the bf16 peak on TPU).  Master params
+    stay f32 — the cast sits inside the loss, so AdamW updates and the
+    weight-norm fold are full precision, and grads come back f32 through
+    the transpose of the cast.  Opt-in via TrainConfig.disc_compute_dtype
+    (the reference trains f32, so f32 stays the parity default)."""
+    if dtype is None:
+        return tree
+    return jax.tree.map(lambda a: jnp.asarray(a).astype(dtype), tree)
+
+
 # --------------------------------------------------------------------------
 # Param init (torch Conv2d defaults: U(+-1/sqrt(fan_in)), then weight_norm)
 # --------------------------------------------------------------------------
@@ -132,10 +148,11 @@ def _fold_to_period(x: jnp.ndarray, period: int, always_pad: bool) -> jnp.ndarra
 
 
 def discriminator_p(params: dict, period: int, x: jnp.ndarray,
-                    cond_embedding_id=None):
+                    cond_embedding_id=None, compute_dtype=None):
     """x: (B, T) audio.  Returns (logits (B, N), fmap list)."""
-    folded = fold_tree(params)
-    h = _fold_to_period(x, period, always_pad=False)
+    folded = _cast_floats(fold_tree(params), compute_dtype)
+    h = _fold_to_period(_cast_floats(x, compute_dtype), period,
+                        always_pad=False)
     fmap = []
     for i, c in enumerate(folded["convs"]):
         stride = (3, 1) if i < 4 else (1, 1)
@@ -145,8 +162,10 @@ def discriminator_p(params: dict, period: int, x: jnp.ndarray,
         if i > 0:
             fmap.append(h)
     if cond_embedding_id is not None:
-        emb = params["emb"][cond_embedding_id]          # (1024,)
-        cond = jnp.sum(emb * h, axis=-1, keepdims=True)  # (B, H, W, 1)
+        emb = _cast_floats(params["emb"], compute_dtype)[cond_embedding_id]
+        # f32 accumulation for the 1024-wide conditional projection
+        cond = jnp.sum((emb * h).astype(jnp.float32), axis=-1, keepdims=True)
+        cond = cond.astype(h.dtype)                      # (B, H, W, 1)
     else:
         cond = 0.0
     out = conv2d(h, folded["conv_post"]["kernel"], folded["conv_post"]["bias"],
@@ -161,14 +180,17 @@ def discriminator_p(params: dict, period: int, x: jnp.ndarray,
 # --------------------------------------------------------------------------
 
 def discriminator_r(params: dict, resolution: tuple, x: jnp.ndarray,
-                    cond_embedding_id=None):
-    """x: (B, T) audio.  Rectangular-window magnitude STFT then conv2d stack."""
+                    cond_embedding_id=None, compute_dtype=None):
+    """x: (B, T) audio.  Rectangular-window magnitude STFT then conv2d stack.
+
+    The STFT itself always runs f32 (FFT accuracy); only the conv stack
+    downstream honors ``compute_dtype``."""
     n_fft, hop, win = resolution
-    folded = fold_tree(params)
+    folded = _cast_floats(fold_tree(params), compute_dtype)
     ones = np.ones(win, np.float32)
     spec = stft(x, n_fft, hop, win_length=win, window=ones, center=True,
                 pad_mode="reflect")                     # (B, T', F)
-    mag = jnp.abs(spec)
+    mag = _cast_floats(jnp.abs(spec), compute_dtype)
     # torch layout (B, 1, F, T') -> NHWC (B, F, T', 1)
     h = jnp.swapaxes(mag, 1, 2)[..., None]
     fmap = []
@@ -181,8 +203,9 @@ def discriminator_r(params: dict, resolution: tuple, x: jnp.ndarray,
         h = _lrelu(h)
         fmap.append(h)
     if cond_embedding_id is not None:
-        emb = params["emb"][cond_embedding_id]
-        cond = jnp.sum(emb * h, axis=-1, keepdims=True)
+        emb = _cast_floats(params["emb"], compute_dtype)[cond_embedding_id]
+        cond = jnp.sum((emb * h).astype(jnp.float32), axis=-1, keepdims=True)
+        cond = cond.astype(h.dtype)
     else:
         cond = 0.0
     out = conv2d(h, folded["conv_post"]["kernel"], folded["conv_post"]["bias"],
@@ -224,10 +247,11 @@ def _dac_preprocess(y: jnp.ndarray) -> jnp.ndarray:
     return 0.8 * y / (jnp.max(jnp.abs(y), axis=-1, keepdims=True) + 1e-9)
 
 
-def _dac_mpd(params: dict, period: int, x: jnp.ndarray):
+def _dac_mpd(params: dict, period: int, x: jnp.ndarray, compute_dtype=None):
     """x: (B, T).  fmap = every intermediate incl. conv_post output."""
-    folded = fold_tree(params)
-    h = _fold_to_period(x, period, always_pad=True)
+    folded = _cast_floats(fold_tree(params), compute_dtype)
+    h = _fold_to_period(_cast_floats(x, compute_dtype), period,
+                        always_pad=True)
     fmap = []
     for i, c in enumerate(folded["convs"]):
         h = conv2d(h, c["kernel"], c["bias"], strides=(3, 1) if i < 4 else (1, 1),
@@ -259,11 +283,13 @@ def _dac_mrd_band_slices(n_fft: int) -> list:
     return [(int(lo * n_bins), int(hi * n_bins)) for lo, hi in DAC_BANDS]
 
 
-def _dac_mrd_band(stack_params: list, b: jnp.ndarray) -> list:
+def _dac_mrd_band(stack_params: list, b: jnp.ndarray,
+                  compute_dtype=None) -> list:
     """One band's conv stack over its spectrogram slice; returns the fmap
     list (5 activations, last = band output).  stack_params are (v,g,bias)
     weight-norm trees (folded here)."""
-    folded = [fold_tree(c) for c in stack_params]
+    folded = _cast_floats([fold_tree(c) for c in stack_params], compute_dtype)
+    b = _cast_floats(b, compute_dtype)
     fmap = []
     for c, (k, s, p) in zip(folded, _DAC_MRD_CONV_CFG):
         b = conv2d(b, c["kernel"], c["bias"], strides=s,
@@ -273,40 +299,42 @@ def _dac_mrd_band(stack_params: list, b: jnp.ndarray) -> list:
     return fmap
 
 
-def _dac_mrd_post(post_params: dict, band_outs: list) -> jnp.ndarray:
-    folded = fold_tree(post_params)
+def _dac_mrd_post(post_params: dict, band_outs: list,
+                  compute_dtype=None) -> jnp.ndarray:
+    folded = _cast_floats(fold_tree(post_params), compute_dtype)
     out = jnp.concatenate(band_outs, axis=2)  # concat along F
     return conv2d(out, folded["kernel"], folded["bias"],
                   padding=((1, 1), (1, 1)))
 
 
-def _dac_mrd(params: dict, n_fft: int, x: jnp.ndarray):
+def _dac_mrd(params: dict, n_fft: int, x: jnp.ndarray, compute_dtype=None):
     """Complex multi-band spectrogram discriminator (ref: :110-191).
 
     Bands split the frequency axis; convs run (T, F) with stride-2
     downsampling on F; conv_post over the F-concatenated band outputs.
-    """
+    The spectrogram itself stays f32 (FFT accuracy)."""
     h = _dac_mrd_spectrogram(x, n_fft)
     fmap = []
     outs = []
     for (lo, hi), stack in zip(_dac_mrd_band_slices(n_fft), params["bands"]):
-        band_fmap = _dac_mrd_band(stack, h[:, :, lo:hi, :])
+        band_fmap = _dac_mrd_band(stack, h[:, :, lo:hi, :],
+                                  compute_dtype=compute_dtype)
         fmap.extend(band_fmap)
         outs.append(band_fmap[-1])
-    out = _dac_mrd_post(params["conv_post"], outs)
+    out = _dac_mrd_post(params["conv_post"], outs, compute_dtype=compute_dtype)
     fmap.append(out)
     return fmap
 
 
-def dac_discriminator(params: dict, x: jnp.ndarray) -> list:
+def dac_discriminator(params: dict, x: jnp.ndarray, compute_dtype=None) -> list:
     """x: (B, T).  Returns list of fmap-lists, one per sub-discriminator
     (ref: discriminator_dac.py:234-237)."""
     x = _dac_preprocess(x)
     fmaps = []
     for p, period in zip(params["dac_mpd"], DAC_PERIODS):
-        fmaps.append(_dac_mpd(p, period, x))
+        fmaps.append(_dac_mpd(p, period, x, compute_dtype=compute_dtype))
     for p, n_fft in zip(params["dac_mrd"], DAC_FFT_SIZES):
-        fmaps.append(_dac_mrd(p, n_fft, x))
+        fmaps.append(_dac_mrd(p, n_fft, x, compute_dtype=compute_dtype))
     return fmaps
 
 

@@ -119,19 +119,23 @@ def _vocos_subs(params: list, family: str):
 
 def vocos_disc_loss_fused(params: list, family: str, y: jnp.ndarray,
                           y_hat: jnp.ndarray, bandwidth_id=None,
-                          remat: bool = False) -> jnp.ndarray:
+                          remat: bool = False,
+                          compute_dtype=None) -> jnp.ndarray:
     """Discriminator-phase hinge loss for one Vocos family, already divided
     by the sub-discriminator count (= hinge_discriminator_loss(...) / len
     as experiment.py:140-148 wires it).  The real and fake hinge terms are
     separable, so each gets its OWN checkpoint — halving the per-stack
-    backward-recompute peak (one conv stack live instead of two)."""
+    backward-recompute peak (one conv stack live instead of two).
+    ``compute_dtype`` runs the conv stacks in that dtype (mixed-precision
+    training, see discriminators._cast_floats); the hinge means are f32."""
     def real_term(p, y, bw, _fwd):
-        r, _ = _fwd(p, x=y, cond_embedding_id=bw)
-        return jnp.mean(jnp.maximum(1.0 - r, 0.0))
+        r, _ = _fwd(p, x=y, cond_embedding_id=bw, compute_dtype=compute_dtype)
+        return jnp.mean(jnp.maximum(1.0 - r.astype(jnp.float32), 0.0))
 
     def fake_term(p, y_hat, bw, _fwd):
-        g, _ = _fwd(p, x=y_hat, cond_embedding_id=bw)
-        return jnp.mean(jnp.maximum(1.0 + g, 0.0))
+        g, _ = _fwd(p, x=y_hat, cond_embedding_id=bw,
+                    compute_dtype=compute_dtype)
+        return jnp.mean(jnp.maximum(1.0 + g.astype(jnp.float32), 0.0))
 
     subs = _vocos_subs(params, family)
     total = 0.0
@@ -145,7 +149,7 @@ def vocos_disc_loss_fused(params: list, family: str, y: jnp.ndarray,
 
 def vocos_gen_loss_fused(params: list, family: str, y: jnp.ndarray,
                          y_hat: jnp.ndarray, bandwidth_id=None,
-                         remat: bool = False):
+                         remat: bool = False, compute_dtype=None):
     """Generator-phase (hinge_gen, feature_matching) for one Vocos family,
     each divided by the sub-discriminator count (experiment.py:164-171)."""
     def one(p, y, y_hat, bw, _fwd):
@@ -155,10 +159,11 @@ def vocos_gen_loss_fused(params: list, family: str, y: jnp.ndarray,
         # B=40) instead of twice at 3.2x — ~halving the recompute peak.
         nb = y.shape[0]
         out, fmap = _fwd(p, x=jnp.concatenate([y_hat, y], axis=0),
-                         cond_embedding_id=bw)
-        fmap_g = [a[:nb] for a in fmap]
-        fmap_r = [a[nb:] for a in fmap]
-        return (hinge_generator_loss([out[:nb]]),
+                         cond_embedding_id=bw, compute_dtype=compute_dtype)
+        # f32 loss math (casts fuse into the abs/maximum elementwise ops)
+        fmap_g = [a[:nb].astype(jnp.float32) for a in fmap]
+        fmap_r = [a[nb:].astype(jnp.float32) for a in fmap]
+        return (hinge_generator_loss([out[:nb].astype(jnp.float32)]),
                 feature_matching_loss([fmap_r], [fmap_g]))
 
     subs = _vocos_subs(params, family)
@@ -171,7 +176,7 @@ def vocos_gen_loss_fused(params: list, family: str, y: jnp.ndarray,
 
 
 def _dac_mrd_conv_post(sub_params: dict, n_fft: int, x: jnp.ndarray,
-                       remat: bool, collect_l1_vs=None):
+                       remat: bool, collect_l1_vs=None, compute_dtype=None):
     """One DAC MRD sub-discriminator at BAND granularity: each band's conv
     stack runs in its own checkpoint (one band ~0.6 GiB of recompute temps
     vs ~2.8 GiB for the whole fake+real pair at batch 40).  Returns the
@@ -189,16 +194,18 @@ def _dac_mrd_conv_post(sub_params: dict, n_fft: int, x: jnp.ndarray,
                                sub_params["bands"]):
         if spec_r is None:
             def band(bp, s):
-                return _dac_mrd_band(bp, s)[-1]
+                return _dac_mrd_band(bp, s, compute_dtype=compute_dtype)[-1]
             outs.append(_ckpt(band, remat)(stack, spec[:, :, lo:hi, :]))
         else:
             def band(bp, s, sr):
                 # fake+real as one batch-2B stack (see vocos_gen_loss_fused
                 # .one for the lane-padding rationale)
                 nb = s.shape[0]
-                fm = _dac_mrd_band(bp, jnp.concatenate([s, sr], axis=0))
+                fm = _dac_mrd_band(bp, jnp.concatenate([s, sr], axis=0),
+                                   compute_dtype=compute_dtype)
                 lf = 0.0
                 for a in fm:
+                    a = a.astype(jnp.float32)
                     lf = lf + jnp.mean(
                         jnp.abs(a[:nb] - jax.lax.stop_gradient(a[nb:])))
                 return lf, fm[-1][:nb]
@@ -206,7 +213,8 @@ def _dac_mrd_conv_post(sub_params: dict, n_fft: int, x: jnp.ndarray,
                                          spec_r[:, :, lo:hi, :])
             outs.append(out)
             l1 = l1 + lf
-    return _dac_mrd_post(sub_params["conv_post"], outs), l1
+    return _dac_mrd_post(sub_params["conv_post"], outs,
+                         compute_dtype=compute_dtype), l1
 
 
 def _dac_subs_split(disc_params: dict):
@@ -222,30 +230,41 @@ def _dac_subs_split(disc_params: dict):
 
 
 def dac_disc_loss_fused(disc_params: dict, fake: jnp.ndarray,
-                        real: jnp.ndarray, remat: bool = False) -> jnp.ndarray:
+                        real: jnp.ndarray, remat: bool = False,
+                        compute_dtype=None) -> jnp.ndarray:
     """= dac_discriminator_loss, with per-(stack, input) scalar checkpoints
     (the fake and real LS terms are separable, see vocos_disc_loss_fused);
     MRD stacks checkpoint per band."""
     fake = _dac_preprocess(fake)
     real = _dac_preprocess(real)
 
+    def mpd_fake(p, x, _f):
+        o = _f(p, x=x, compute_dtype=compute_dtype)[-1].astype(jnp.float32)
+        return jnp.mean(o ** 2)
+
+    def mpd_real(p, x, _f):
+        o = _f(p, x=x, compute_dtype=compute_dtype)[-1].astype(jnp.float32)
+        return jnp.mean((1.0 - o) ** 2)
+
     loss = 0.0
     for kind, p, fwd in _dac_subs_split(disc_params):
         if kind == "mpd":
-            loss = loss + _ckpt(lambda p, x, _f=fwd: jnp.mean(_f(p, x=x)[-1] ** 2),
-                                remat)(p, fake)
-            loss = loss + _ckpt(
-                lambda p, x, _f=fwd: jnp.mean((1.0 - _f(p, x=x)[-1]) ** 2),
-                remat)(p, real)
+            loss = loss + _ckpt(partial(mpd_fake, _f=fwd), remat)(p, fake)
+            loss = loss + _ckpt(partial(mpd_real, _f=fwd), remat)(p, real)
         else:
-            out_f, _ = _dac_mrd_conv_post(p, fwd, fake, remat)
-            out_r, _ = _dac_mrd_conv_post(p, fwd, real, remat)
+            out_f, _ = _dac_mrd_conv_post(p, fwd, fake, remat,
+                                          compute_dtype=compute_dtype)
+            out_r, _ = _dac_mrd_conv_post(p, fwd, real, remat,
+                                          compute_dtype=compute_dtype)
+            out_f = out_f.astype(jnp.float32)
+            out_r = out_r.astype(jnp.float32)
             loss = loss + jnp.mean(out_f ** 2) + jnp.mean((1.0 - out_r) ** 2)
     return loss
 
 
 def dac_gen_loss_fused(disc_params: dict, fake: jnp.ndarray,
-                       real: jnp.ndarray, remat: bool = False):
+                       real: jnp.ndarray, remat: bool = False,
+                       compute_dtype=None):
     """= dac_generator_loss, with per-stack (MPD) / per-band (MRD) scalar
     checkpoints."""
     fake = _dac_preprocess(fake)
@@ -254,7 +273,9 @@ def dac_gen_loss_fused(disc_params: dict, fake: jnp.ndarray,
     def mpd_pair(p, fake, real, _fwd):
         # fake+real as one batch-2B stack (see vocos_gen_loss_fused.one)
         nb = fake.shape[0]
-        fm = _fwd(p, x=jnp.concatenate([fake, real], axis=0))
+        fm = _fwd(p, x=jnp.concatenate([fake, real], axis=0),
+                  compute_dtype=compute_dtype)
+        fm = [a.astype(jnp.float32) for a in fm]
         lg = jnp.mean((1.0 - fm[-1][:nb]) ** 2)
         lf = 0.0
         for a in fm[:-1]:
@@ -268,7 +289,8 @@ def dac_gen_loss_fused(disc_params: dict, fake: jnp.ndarray,
             lg, lf = _ckpt(partial(mpd_pair, _fwd=fwd), remat)(p, fake, real)
         else:
             out_f, lf = _dac_mrd_conv_post(p, fwd, fake, remat,
-                                           collect_l1_vs=real)
-            lg = jnp.mean((1.0 - out_f) ** 2)
+                                           collect_l1_vs=real,
+                                           compute_dtype=compute_dtype)
+            lg = jnp.mean((1.0 - out_f.astype(jnp.float32)) ** 2)
         loss_g, loss_feature = loss_g + lg, loss_feature + lf
     return loss_g, loss_feature

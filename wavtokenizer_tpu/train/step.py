@@ -82,6 +82,14 @@ class TrainConfig:
     # so the full GAN-step graph cold-compiles within the driver's budget
     # while every family/period/resolution/band stays present.
     disc_channels_scale: float = 1.0
+    # Mixed-precision training: run the discriminator conv stacks (≈80% of
+    # the GAN step's FLOPs) in this dtype.  f32 matmuls run at HALF the
+    # bf16 MXU rate on TPU, so "bfloat16" roughly doubles the
+    # discriminator throughput; master params, weight-norm folds, loss
+    # reductions, optimizer updates, and the whole generator (incl. the
+    # bit-exact encoder/VQ path) stay f32.  The reference trains f32
+    # (Lightning default), so "float32" is the parity default.
+    disc_compute_dtype: str = "float32"
 
 
 def cosine_schedule_with_warmup(base_lr: float, num_warmup_steps: int,
@@ -162,17 +170,20 @@ def generator_forward(gen: dict, vq: dict, spec: WavTokenizerSpec,
 
 
 def _disc_loss_fn(disc, audio_hat, audio, bandwidth_id, mrd_coeff,
-                  remat=False):
+                  remat=False, compute_dtype=None):
     """ref: experiment.py:125-148.
 
     ``remat`` checkpoints each sub-discriminator's forward TOGETHER WITH its
     scalar loss terms (losses.*_fused) so only scalars cross checkpoint
     boundaries — the memory-correct granularity; see losses.py docstring."""
-    loss_dac = dac_disc_loss_fused(disc, audio_hat, audio, remat=remat)
+    loss_dac = dac_disc_loss_fused(disc, audio_hat, audio, remat=remat,
+                                   compute_dtype=compute_dtype)
     loss_mp = vocos_disc_loss_fused(disc["mpd"], "mpd", audio, audio_hat,
-                                    bandwidth_id, remat=remat)
+                                    bandwidth_id, remat=remat,
+                                    compute_dtype=compute_dtype)
     loss_mrd = vocos_disc_loss_fused(disc["mrd"], "mrd", audio, audio_hat,
-                                     bandwidth_id, remat=remat)
+                                     bandwidth_id, remat=remat,
+                                     compute_dtype=compute_dtype)
     loss = loss_mp + mrd_coeff * loss_mrd + loss_dac
     return loss, {"disc_total": loss, "disc_mp": loss_mp, "disc_mrd": loss_mrd,
                   "disc_dac": loss_dac}
@@ -180,7 +191,8 @@ def _disc_loss_fn(disc, audio_hat, audio, bandwidth_id, mrd_coeff,
 
 def _gen_loss_fn(gen, disc, vq, spec, audio, bandwidth_id, key, n_q,
                  mel_coeff, mrd_coeff, train_discriminator, remat=False,
-                 dropout_rng=None, dropout_rate=0.0, remat_encoder=None):
+                 dropout_rng=None, dropout_rate=0.0, remat_encoder=None,
+                 compute_dtype=None):
     """ref: experiment.py:151-218."""
     audio_hat, commit_loss, new_vq = generator_forward(
         gen, vq, spec, audio, bandwidth_id, key, n_q, remat=remat,
@@ -191,11 +203,14 @@ def _gen_loss_fn(gen, disc, vq, spec, audio, bandwidth_id, key, n_q,
     loss = mel_coeff * l_mel + 1000.0 * commit_loss
     if train_discriminator:
         dac_g, dac_feat = dac_gen_loss_fused(disc, audio_hat, audio,
-                                             remat=remat)
+                                             remat=remat,
+                                             compute_dtype=compute_dtype)
         loss_gen_mp, loss_fm_mp = vocos_gen_loss_fused(
-            disc["mpd"], "mpd", audio, audio_hat, bandwidth_id, remat=remat)
+            disc["mpd"], "mpd", audio, audio_hat, bandwidth_id, remat=remat,
+            compute_dtype=compute_dtype)
         loss_gen_mrd, loss_fm_mrd = vocos_gen_loss_fused(
-            disc["mrd"], "mrd", audio, audio_hat, bandwidth_id, remat=remat)
+            disc["mrd"], "mrd", audio, audio_hat, bandwidth_id, remat=remat,
+            compute_dtype=compute_dtype)
         loss = (loss + loss_gen_mp + mrd_coeff * loss_gen_mrd + loss_fm_mp
                 + mrd_coeff * loss_fm_mrd + dac_g + dac_feat)
         metrics.update({"gen_mp": loss_gen_mp, "gen_mrd": loss_gen_mrd,
@@ -219,6 +234,8 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
     opt_disc_tx, opt_gen_tx = make_optimizers(tcfg)
     k_bw, k_vq1, k_vq2, k_drop1, k_drop2 = jax.random.split(key, 5)
     bandwidth_id = jax.random.randint(k_bw, (), 0, tcfg.num_bandwidths)
+    disc_dtype = (None if tcfg.disc_compute_dtype == "float32"
+                  else jnp.dtype(tcfg.disc_compute_dtype))
 
     metrics = {}
     disc = state["disc"]
@@ -237,7 +254,7 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
         (_, d_metrics), d_grads = jax.value_and_grad(
             _disc_loss_fn, has_aux=True)(disc, audio_hat_d, audio,
                                          bandwidth_id, tcfg.mrd_loss_coeff,
-                                         tcfg.remat)
+                                         tcfg.remat, disc_dtype)
         d_updates, new_opt_disc = opt_disc_tx.update(d_grads,
                                                      state["opt_disc"], disc)
         disc = optax.apply_updates(disc, d_updates)
@@ -259,7 +276,7 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
                                     bandwidth_id, k_vq2, n_q, mel_coeff,
                                     tcfg.mrd_loss_coeff, train_discriminator,
                                     tcfg.remat, k_drop2, tcfg.pos_dropout,
-                                    tcfg.remat_encoder)
+                                    tcfg.remat_encoder, disc_dtype)
     g_updates, new_opt_gen = opt_gen_tx.update(g_grads, state["opt_gen"],
                                                state["gen"])
     gen = optax.apply_updates(state["gen"], g_updates)

@@ -56,6 +56,9 @@ def train_config_from_yaml(config: dict) -> tuple[WavTokenizerSpec, TrainConfig,
         # the reference YAML key carries the upstream typo "periodicty"
         evaluate_periodicity=bool(init.get(
             "evaluate_periodicty", init.get("evaluate_periodicity", True))),
+        # TPU extension key (absent from reference YAMLs): run the
+        # discriminator conv stacks in bf16 — see TrainConfig.
+        disc_compute_dtype=str(init.get("disc_compute_dtype", "float32")),
     )
 
     def data_cfg(block):
