@@ -105,3 +105,60 @@ def test_bucket_size():
     assert _bucket_size(3, 128) == 4
     assert _bucket_size(27, 128) == 32
     assert _bucket_size(200, 128) == 128
+
+
+def _chunk_gather(audio, chunk_samples, overlap):
+    """Reference chunking: one (N, L) gather (the pre-fast-path lowering)."""
+    import math
+    T = audio.shape[0]
+    stride = int(chunk_samples * (1 - overlap))
+    num_chunks = max(1, math.ceil(max(T - chunk_samples, 0) / stride) + 1)
+    total = (num_chunks - 1) * stride + chunk_samples
+    audio = jnp.pad(audio, (0, total - T))
+    starts = np.arange(num_chunks) * stride
+    idx = starts[:, None] + np.arange(chunk_samples)[None, :]
+    return audio[idx], stride, T
+
+
+def _crossfade_dus(chunks, stride, orig_len):
+    """Reference join: per-chunk dynamic-update-slice chain (the
+    pre-fast-path lowering)."""
+    N, L = chunks.shape
+    overlap = L - stride
+    ramp = np.linspace(0.0, 1.0, max(overlap, 1), dtype=np.float32)
+    total = (N - 1) * stride + L
+    out = jnp.zeros(total, jnp.float32)
+    den = jnp.zeros(total, jnp.float32)
+    for i in range(N):
+        w = np.ones(L, np.float32)
+        if overlap > 0:
+            if i > 0:
+                w[:overlap] = ramp
+            if i < N - 1:
+                w[-overlap:] = ramp[::-1]
+        w = jnp.asarray(w)
+        out = out.at[i * stride:i * stride + L].add(chunks[i] * w)
+        den = den.at[i * stride:i * stride + L].add(w)
+    return (out / jnp.maximum(den, 1e-8))[:orig_len]
+
+
+def test_fast_paths_match_reference_lowering(rng):
+    """chunk_audio / crossfade_join take a strided-slice fast path when the
+    overlap divides the stride (the canonical 25% case).  Both paths place
+    the same <=2 addends per output sample, so they must agree bit-exactly
+    with the gather / DUS-chain lowering — across divisible and
+    non-divisible overlaps, the single-chunk case, and overlap=0."""
+    for T, L, ov in ((100_000, 12_000, 0.25), (50_000, 12_000, 0.25),
+                     (40_000, 9_000, 0.4), (30_000, 8_000, 0.0),
+                     (5_000, 12_000, 0.25), (36_000, 12_000, 0.5)):
+        audio = jnp.asarray(rng.normal(size=(T,)).astype(np.float32))
+        chunks, stride, orig = chunk_audio(audio, L, overlap=ov)
+        ref_chunks, ref_stride, ref_orig = _chunk_gather(audio, L, ov)
+        assert (stride, orig) == (ref_stride, ref_orig), (L, ov)
+        np.testing.assert_array_equal(np.asarray(chunks),
+                                      np.asarray(ref_chunks), err_msg=f"{ov}")
+        joined = crossfade_join(chunks, stride, orig)
+        ref_joined = _crossfade_dus(ref_chunks, stride, orig)
+        np.testing.assert_array_equal(np.asarray(joined),
+                                      np.asarray(ref_joined),
+                                      err_msg=f"{L} {ov}")
