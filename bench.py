@@ -329,6 +329,29 @@ def bench_train_step():
                      "metrics above")}
 
 
+def bench_train_step_bf16():
+    """Mixed-precision GAN-step variant: TrainConfig.disc_compute_dtype=
+    "bfloat16" runs the discriminator conv stacks in bf16 (master params,
+    losses, and gradients stay f32 — train/step.py).  Measured r3 on the
+    chip: 62.6 RTF / MFU 0.306 vs 50.7 / 0.248 for the f32 step (+23%).
+    Reported as its own metric so the default f32 row stays comparable to
+    the reference's full-precision Lightning loop."""
+    prev = os.environ.get("BENCH_TRAIN_DISC_DTYPE")
+    os.environ["BENCH_TRAIN_DISC_DTYPE"] = "bfloat16"
+    try:
+        r = bench_train_step()
+    finally:
+        if prev is None:
+            os.environ.pop("BENCH_TRAIN_DISC_DTYPE", None)
+        else:
+            os.environ["BENCH_TRAIN_DISC_DTYPE"] = prev
+    r["metric"] = "train_step_rtf_bf16_disc"
+    r["note"] = ("mixed-precision option (discriminator conv stacks bf16, "
+                 "master f32); the default f32 row above matches the "
+                 "reference's full-precision training")
+    return r
+
+
 def multichip_dryrun_status(timeout_s: int = 420) -> dict:
     """Run the driver-style multichip contract check (import + call of
     __graft_entry__.dryrun_multichip on an 8-device virtual CPU mesh) in a
@@ -369,7 +392,8 @@ def main():
     if "--all" in sys.argv:
         results = [headline]
         for fn in (bench_detokenize, bench_small600_single, bench_music16k,
-                   bench_longform_60s, bench_bulk_extract, bench_train_step):
+                   bench_longform_60s, bench_bulk_extract, bench_train_step,
+                   bench_train_step_bf16):
             # Isolate each config: the axon remote-compile helper can die
             # transiently (observed: SIGKILL mid GAN-step compile, HTTP 500
             # from /remote_compile) — retry once, then record the failure
