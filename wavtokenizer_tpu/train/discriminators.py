@@ -45,7 +45,12 @@ def _cast_floats(tree, dtype):
     (the reference trains f32, so f32 stays the parity default)."""
     if dtype is None:
         return tree
-    return jax.tree.map(lambda a: jnp.asarray(a).astype(dtype), tree)
+
+    def _cast(a):
+        a = jnp.asarray(a)
+        return a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
+    return jax.tree.map(_cast, tree)
 
 
 # --------------------------------------------------------------------------

