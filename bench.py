@@ -276,6 +276,75 @@ def bench_bulk_extract():
                           per_iter)}
 
 
+def bench_latency():
+    """Serving latency: p50 per-clip milliseconds for encode / decode /
+    roundtrip on ONE 3 s clip (small-320), alongside the RTF rows (VERDICT
+    r3 next #6 — RTF alone hides the B=1 story).  p50 over chained-pair
+    estimates; the chained methodology excludes tunnel dispatch latency,
+    so these are on-device compute times."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavtokenizer_tpu import WavTokenizerSpec
+    from wavtokenizer_tpu.models import wavtokenizer as wt
+    from wavtokenizer_tpu.models.init import init_wavtokenizer
+
+    spec = WavTokenizerSpec()
+    params = jax.device_put(init_wavtokenizer(spec, random_codebook=True))
+    T = int(spec.sample_rate * 3.0)
+    rng = np.random.default_rng(0)
+    audio = jax.device_put(jnp.asarray(
+        rng.normal(size=(1, T)).astype(np.float32) * 0.1))
+
+    @jax.jit
+    def enc(params, a):
+        feats, codes = wt.encode_infer(params, spec, a)
+        return feats
+
+    @jax.jit
+    def dec(params, f):
+        return wt.decode(params, spec, f, 0)
+
+    @jax.jit
+    def rt(params, a):
+        feats, _ = wt.encode_infer(params, spec, a)
+        return wt.decode(params, spec, feats, 0)
+
+    feats = enc(params, audio)
+    wav = dec(params, feats)
+    np.asarray(wav[:1, :1])
+
+    def p50_ms(step, seed_out, back):
+        """step: out -> out chained through `back` (out -> next input)."""
+        def run(n):
+            o = seed_out
+            t0 = time.perf_counter()
+            for _ in range(n):
+                o = step(back(o))
+            np.asarray(o[:1, :1] if o.ndim > 1 else o[:1])
+            return time.perf_counter() - t0
+
+        run(2)
+        ests = []
+        for _ in range(8):
+            t_s, t_l = run(16), run(96)
+            ests.append((t_l - t_s) / 80.0)
+        return float(np.median(ests) * 1e3)
+
+    enc_ms = p50_ms(lambda a: enc(params, a), feats,
+                    lambda f: audio + f[:1, :1, :1].reshape(1, 1) * 0.0)
+    dec_ms = p50_ms(lambda f: dec(params, f), wav,
+                    lambda w: feats + w[:1, :1].reshape(1, 1, 1) * 0.0)
+    rt_ms = p50_ms(lambda a: rt(params, a), wav,
+                   lambda w: audio + w[:1, :1] * 0.0)
+    return {"metric": "latency_ms_p50", "value": round(rt_ms, 3),
+            "unit": "ms/3s_clip_roundtrip",
+            "vs_baseline": round(3000.0 / rt_ms / 1000.0, 4),
+            "encode_ms": round(enc_ms, 3), "decode_ms": round(dec_ms, 3),
+            "roundtrip_ms": round(rt_ms, 3),
+            "note": "B=1 on-device compute (chained timing, p50 of 8)"}
+
+
 def bench_train_step():
     """GAN training throughput on one chip at the reference's per-GPU
     batch 40 x 3 s (configs/...frame75...yaml:10).  Batch 40 fits a 16 GB
@@ -301,10 +370,15 @@ def bench_train_step():
     # BENCH_TRAIN_DISC_DTYPE=bfloat16 measures the mixed-precision variant
     # (discriminator conv stacks in bf16 — TrainConfig.disc_compute_dtype;
     # master params/losses/grads stay f32).
+    # BENCH_TRAIN_GEN_DTYPE=bfloat16 additionally runs the generator's
+    # backbone+head compute in bf16 (TrainConfig.gen_compute_dtype; the
+    # encoder/VQ path and all master state stay f32).
     tcfg = TrainConfig(
         remat_encoder=os.environ.get("BENCH_TRAIN_REMAT_ENC", "1") == "1",
         disc_compute_dtype=os.environ.get("BENCH_TRAIN_DISC_DTYPE",
-                                          "float32"))
+                                          "float32"),
+        gen_compute_dtype=os.environ.get("BENCH_TRAIN_GEN_DTYPE",
+                                         "float32"))
     state = jax.device_put(create_train_state(spec, tcfg, seed=0))
     B, SECONDS = int(os.environ.get("BENCH_TRAIN_BATCH", 40)), 3.0
     T = int(spec.sample_rate * SECONDS)
@@ -369,6 +443,31 @@ def bench_train_step_bf16():
     return r
 
 
+def bench_train_step_bf16_mixed():
+    """Full mixed-precision option: discriminators AND generator
+    backbone+head compute in bf16 (encoder/VQ + all master state f32).
+    The production throughput lever when reference-parity numerics are not
+    required."""
+    prev_d = os.environ.get("BENCH_TRAIN_DISC_DTYPE")
+    prev_g = os.environ.get("BENCH_TRAIN_GEN_DTYPE")
+    os.environ["BENCH_TRAIN_DISC_DTYPE"] = "bfloat16"
+    os.environ["BENCH_TRAIN_GEN_DTYPE"] = "bfloat16"
+    try:
+        r = bench_train_step()
+    finally:
+        for k, prev in (("BENCH_TRAIN_DISC_DTYPE", prev_d),
+                        ("BENCH_TRAIN_GEN_DTYPE", prev_g)):
+            if prev is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = prev
+    r["metric"] = "train_step_rtf_bf16_mixed"
+    r["note"] = ("mixed-precision option (disc + generator backbone/head "
+                 "bf16, encoder/VQ and master state f32); default f32 row "
+                 "matches the reference's full-precision training")
+    return r
+
+
 def multichip_dryrun_status(timeout_s: int = 420) -> dict:
     """Run the driver-style multichip contract check (import + call of
     __graft_entry__.dryrun_multichip on an 8-device virtual CPU mesh) in a
@@ -409,8 +508,9 @@ def main():
     if "--all" in sys.argv:
         results = [headline]
         for fn in (bench_detokenize, bench_small600_single, bench_music16k,
-                   bench_longform_60s, bench_bulk_extract, bench_train_step,
-                   bench_train_step_bf16):
+                   bench_longform_60s, bench_bulk_extract, bench_latency,
+                   bench_train_step, bench_train_step_bf16,
+                   bench_train_step_bf16_mixed):
             # Isolate each config: the axon remote-compile helper can die
             # transiently (observed: SIGKILL mid GAN-step compile, HTTP 500
             # from /remote_compile) — retry once, then record the failure

@@ -103,3 +103,29 @@ def test_dryrun_driver_preforced_mesh_stays_warm():
     assert wall <= 210, (
         f"pre-forced-mesh dryrun took {wall:.0f}s (budget 210s) — the "
         "canonical re-exec is engaged but the warm cache did not serve")
+
+
+def test_dryrun_production_remat_graph():
+    """The remat=True graph — the one real 8-chip training compiles — must
+    be inside the multichip contract (VERDICT r3 weak #5): WT_DRYRUN_REMAT=1
+    runs the production remat GAN-step graph on the virtual mesh within its
+    own measured budget.  Runs after the plain dryrun tests so the repo
+    cache is warm for everything the graphs share."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "",
+        env.get("XLA_FLAGS", "")).strip()
+    env["WT_DRYRUN_REMAT"] = "1"
+    env.pop("WT_JAX_CACHE_DIR", None)
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, "-u", "-c", _CODE], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=900)
+    wall = time.perf_counter() - t0
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    assert "dryrun_multichip ok" in proc.stdout
+    # Budget: measured on this box r4 (see CLAUDE.md): cold ~330 s, warm 44 s.
+    assert wall <= 480, (
+        f"remat-graph dryrun took {wall:.0f}s (budget 480s) — the "
+        "production remat=True graph no longer fits the driver-scale budget")

@@ -156,3 +156,49 @@ def test_train_step_accepts_disc_compute_dtype():
         assert np.isfinite(v), (name, v)
     for leaf in jax.tree.leaves(state["gen"]):
         assert leaf.dtype == jnp.float32
+
+
+def test_train_step_accepts_gen_compute_dtype():
+    """TrainConfig.gen_compute_dtype="bfloat16" runs the backbone+head in
+    bf16 inside the jitted step: finite losses, f32 master state, and the
+    mel loss stays close to the f32 step's (the encoder/VQ path is never
+    cast, so the drift comes only from the decode side)."""
+    from wavtokenizer_tpu import (ISTFTHeadConfig, SEANetConfig, VQConfig,
+                                  VocosBackboneConfig, WavTokenizerSpec)
+    from wavtokenizer_tpu.train.step import (TrainConfig, create_train_state,
+                                             train_step)
+
+    spec = WavTokenizerSpec(
+        seanet=SEANetConfig(dimension=16, n_filters=2, ratios=(8, 5, 4, 2)),
+        vq=VQConfig(dimension=16, bins=32, kmeans_iters=2),
+        backbone=VocosBackboneConfig(input_channels=16, dim=32,
+                                     intermediate_dim=64, num_layers=1,
+                                     adanorm_num_embeddings=4),
+        head=ISTFTHeadConfig(dim=32, n_fft=1280, hop_length=320),
+    )
+    r = np.random.default_rng(1)
+    audio = jnp.asarray(
+        r.normal(size=(2, spec.seanet.hop_length * 16)).astype(np.float32)
+        * 0.1)
+    key = jax.random.PRNGKey(0)
+
+    def run(gen_dtype):
+        tcfg = TrainConfig(max_steps=10, disc_channels_scale=0.0625,
+                           pos_dropout=0.0, gen_compute_dtype=gen_dtype)
+        state = create_train_state(spec, tcfg, seed=0)
+        for i in range(2):
+            state, metrics = train_step(state, audio,
+                                        jax.random.fold_in(key, i),
+                                        spec, tcfg)
+        return state, metrics
+
+    state16, m16 = run("bfloat16")
+    state32, m32 = run("float32")
+    for name in ("disc_total", "gen_total", "mel_loss"):
+        assert np.isfinite(np.asarray(m16[name])), name
+    for leaf in jax.tree.leaves(state16["gen"]):
+        assert leaf.dtype == jnp.float32
+    # Decode-side bf16 rounding only: mel loss tracks the f32 step.
+    np.testing.assert_allclose(np.asarray(m16["mel_loss"]),
+                               np.asarray(m32["mel_loss"]),
+                               rtol=0.05, atol=0.05)

@@ -32,7 +32,7 @@ from ..models.seanet import encoder_layer_specs, seanet_encode
 from ..models.vocos import istft_head, vocos_backbone
 from ..models.wavtokenizer import WavTokenizerSpec
 from ..models.init import init_wavtokenizer
-from .discriminators import init_discriminators
+from .discriminators import _cast_floats, init_discriminators
 from .losses import (dac_disc_loss_fused, dac_gen_loss_fused, mel_loss,
                      vocos_disc_loss_fused, vocos_gen_loss_fused)
 from .vq_train import vq_train_forward
@@ -90,6 +90,14 @@ class TrainConfig:
     # bit-exact encoder/VQ path) stay f32.  The reference trains f32
     # (Lightning default), so "float32" is the parity default.
     disc_compute_dtype: str = "float32"
+    # Mixed-precision generator DECODE side: run the Vocos backbone + ISTFT
+    # head compute in this dtype during training.  The encoder + VQ path is
+    # NEVER cast (the bit-exact-codes invariant binds the encode path, and
+    # training parity argues for f32 there too); master params, the loss
+    # reductions, optimizer updates, and gradients stay f32 — the cast sits
+    # inside the loss, so grads come back f32 through its transpose.
+    # "float32" is the parity default (the reference trains full precision).
+    gen_compute_dtype: str = "float32"
 
 
 def cosine_schedule_with_warmup(base_lr: float, num_warmup_steps: int,
@@ -146,7 +154,8 @@ def generator_forward(gen: dict, vq: dict, spec: WavTokenizerSpec,
                       audio: jnp.ndarray, bandwidth_id, key, n_q: int,
                       remat: bool = False, dropout_rng=None,
                       dropout_rate: float = 0.0,
-                      remat_encoder: bool | None = None):
+                      remat_encoder: bool | None = None,
+                      compute_dtype=None):
     """Training forward: encoder -> VQ(train) -> backbone -> head
     (ref: experiment.py:114-119 via feature_extractors.py:105-119).
 
@@ -162,10 +171,20 @@ def generator_forward(gen: dict, vq: dict, spec: WavTokenizerSpec,
     emb = seanet_encode(enc, spec.seanet, audio[:, :, None], remat=remat_enc)
     quantized, codes, commit, new_vq = vq_train_forward(vq, spec.vq, emb, key,
                                                         n_q=n_q)
-    h = vocos_backbone(gen["backbone"], spec.backbone, quantized, fused=False,
+    # Optional mixed-precision decode side (TrainConfig.gen_compute_dtype):
+    # backbone + head compute in bf16, everything upstream (encoder, VQ,
+    # commit loss) and the returned waveform stay f32.
+    backbone_p, head_p, q_in = gen["backbone"], gen["head"], quantized
+    if compute_dtype is not None:
+        backbone_p = _cast_floats(backbone_p, compute_dtype)
+        head_p = _cast_floats(head_p, compute_dtype)
+        q_in = quantized.astype(compute_dtype)
+    h = vocos_backbone(backbone_p, spec.backbone, q_in, fused=False,
                        bandwidth_id=bandwidth_id, remat=remat,
                        dropout_rng=dropout_rng, dropout_rate=dropout_rate)
-    audio_hat = istft_head(gen["head"], spec.head, h)
+    audio_hat = istft_head(head_p, spec.head, h)
+    if compute_dtype is not None:
+        audio_hat = audio_hat.astype(jnp.float32)
     return audio_hat, commit, new_vq
 
 
@@ -192,12 +211,12 @@ def _disc_loss_fn(disc, audio_hat, audio, bandwidth_id, mrd_coeff,
 def _gen_loss_fn(gen, disc, vq, spec, audio, bandwidth_id, key, n_q,
                  mel_coeff, mrd_coeff, train_discriminator, remat=False,
                  dropout_rng=None, dropout_rate=0.0, remat_encoder=None,
-                 compute_dtype=None):
+                 compute_dtype=None, gen_compute_dtype=None):
     """ref: experiment.py:151-218."""
     audio_hat, commit_loss, new_vq = generator_forward(
         gen, vq, spec, audio, bandwidth_id, key, n_q, remat=remat,
         dropout_rng=dropout_rng, dropout_rate=dropout_rate,
-        remat_encoder=remat_encoder)
+        remat_encoder=remat_encoder, compute_dtype=gen_compute_dtype)
     l_mel = mel_loss(audio_hat, audio, spec.sample_rate)
     metrics = {"mel_loss": l_mel, "commit_loss": commit_loss}
     loss = mel_coeff * l_mel + 1000.0 * commit_loss
@@ -236,6 +255,8 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
     bandwidth_id = jax.random.randint(k_bw, (), 0, tcfg.num_bandwidths)
     disc_dtype = (None if tcfg.disc_compute_dtype == "float32"
                   else jnp.dtype(tcfg.disc_compute_dtype))
+    gen_dtype = (None if tcfg.gen_compute_dtype == "float32"
+                 else jnp.dtype(tcfg.gen_compute_dtype))
 
     metrics = {}
     disc = state["disc"]
@@ -247,7 +268,7 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
             state["gen"], vq, spec, audio, bandwidth_id, k_vq1, n_q,
             remat=tcfg.remat,  # dense packed layer boundaries (no grads here)
             dropout_rng=k_drop1, dropout_rate=tcfg.pos_dropout,
-            remat_encoder=tcfg.remat_encoder)
+            remat_encoder=tcfg.remat_encoder, compute_dtype=gen_dtype)
         audio_hat_d = jax.lax.stop_gradient(audio_hat_d)
         vq = jax.lax.stop_gradient(vq)
 
@@ -276,7 +297,7 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
                                     bandwidth_id, k_vq2, n_q, mel_coeff,
                                     tcfg.mrd_loss_coeff, train_discriminator,
                                     tcfg.remat, k_drop2, tcfg.pos_dropout,
-                                    tcfg.remat_encoder, disc_dtype)
+                                    tcfg.remat_encoder, disc_dtype, gen_dtype)
     g_updates, new_opt_gen = opt_gen_tx.update(g_grads, state["opt_gen"],
                                                state["gen"])
     gen = optax.apply_updates(state["gen"], g_updates)
