@@ -214,6 +214,82 @@ def _apply_layer(p, spec: LayerSpec, x: jnp.ndarray,
     raise ValueError(spec.kind)
 
 
+def _apply_resblock_folded(params: dict, spec: LayerSpec, xf: jnp.ndarray,
+                           F: int) -> jnp.ndarray:
+    """SEANetResnetBlock on the folded layout (stride-1 convs keep F)."""
+    from ..ops.fold import folded_sconv1d
+
+    h = xf
+    for conv_p, ks, dil in zip(params["block"], spec.block_kernel_sizes,
+                               spec.block_dilations):
+        h = jax.nn.elu(h)
+        h = folded_sconv1d(h, F, F, conv_p["kernel"], conv_p["bias"],
+                           stride=1, dilation=dil, causal=spec.causal,
+                           pad_mode=spec.pad_mode)
+    if spec.true_skip:
+        short = xf
+    else:
+        sp = params["shortcut"]
+        short = folded_sconv1d(xf, F, F, sp["kernel"], sp["bias"], stride=1,
+                               dilation=1, causal=spec.causal,
+                               pad_mode=spec.pad_mode)
+    return short + h
+
+
+def apply_seanet_folded(params: list, specs: list[LayerSpec],
+                        x: jnp.ndarray) -> jnp.ndarray:
+    """Encoder stack with narrow-channel layers space-to-depth folded.
+
+    The early encoder convs (1-64 channels over 36k-72k samples) under-tile
+    the TPU's 128 vector lanes and held the measured encoder at 0.18 MFU
+    (VERDICT r3 weak #2).  This path runs the SAME arithmetic on a
+    (B, T/F, F*C) layout with F chosen per layer so F*C ~ 128 (ops/fold.py):
+    stride folds into F at downsample convs, resblocks keep their block's F,
+    elementwise layers commute with the reshape, and the stack unfolds
+    naturally once channels reach 128.  Value-preserving by construction —
+    the bit-exact-codes invariant is gated by tests/test_fold.py and the
+    golden-token checks.
+
+    Falls back to the plain layer for shapes the fold cannot serve
+    (non-divisible T, time_group_norm variants, transposed convs).
+    """
+    from ..ops.fold import folded_sconv1d, refold, target_fold
+    from ..ops.padding import sconv1d_paddings
+
+    F = 1
+    xf = x
+    for p, spec in zip(params, specs):
+        foldable = spec.norm in ("weight_norm", "none")
+        if spec.kind == "conv" and foldable:
+            kern = p["kernel"]
+            k, _, Cout = kern.shape
+            T = xf.shape[1] * F
+            pl, pr = sconv1d_paddings(T, k, spec.stride, spec.dilation,
+                                      spec.causal)
+            span = (k - 1) * spec.dilation + 1
+            N = (T + pl + pr - span) // spec.stride + 1
+            F_out = target_fold(Cout, N)
+            F_in = F_out * spec.stride
+            if T % F_in == 0 and F_in > 1:
+                xf = refold(xf, F, F_in)
+                xf = folded_sconv1d(xf, F_in, F_out, kern, p["bias"],
+                                    stride=spec.stride, dilation=spec.dilation,
+                                    causal=spec.causal, pad_mode=spec.pad_mode)
+                F = F_out
+                continue
+        if spec.kind == "resblock" and foldable and F > 1:
+            xf = _apply_resblock_folded(p, spec, xf, F)
+            continue
+        if spec.kind in ("elu", "final_act"):
+            xf = _apply_layer(p, spec, xf, None)
+            continue
+        # Fallback: unfold and run the plain layer.
+        xf = refold(xf, F, 1)
+        F = 1
+        xf = _apply_layer(p, spec, xf, None)
+    return refold(xf, F, 1)
+
+
 def _pack_lanes(x: jnp.ndarray) -> tuple[jnp.ndarray, tuple]:
     """Fold time into channels so the last dim is a multiple of 128 lanes.
 
@@ -278,10 +354,34 @@ def apply_seanet(params: list, specs: list[LayerSpec], x: jnp.ndarray,
     return xp.reshape(shape)
 
 
+def _fold_default() -> bool:
+    """Inference-path default for the space-to-depth encoder fold (value-
+    preserving, see apply_seanet_folded).  Env override for A/B measurement;
+    resolved lazily (per trace) so tests can flip the env var.
+
+    Default OFF: measured on v5e r4 at (B=128, 3 s) the whole-encoder fold
+    is 1.7x SLOWER than XLA's own lowering (52.0 ms vs 30.6 ms per encode,
+    codes still bit-identical) — the folded kernels' zero-padding FLOPs
+    (1.7-2.7x per layer) cost more than the recovered lane utilization.
+    See CLAUDE.md "Measured dead ends" for the per-layer numbers."""
+    import os
+    return os.environ.get("WT_ENCODER_FOLD", "0") == "1"
+
+
 def seanet_encode(params: list, cfg: SEANetConfig, audio: jnp.ndarray,
-                  remat: bool = False) -> jnp.ndarray:
-    """audio: (B, T, 1) -> latent (B, T', dimension)."""
-    return apply_seanet(params, encoder_layer_specs(cfg), audio, remat=remat)
+                  remat: bool = False, fold: bool | None = None) -> jnp.ndarray:
+    """audio: (B, T, 1) -> latent (B, T', dimension).
+
+    ``fold`` (default env WT_ENCODER_FOLD, on) runs the narrow early layers
+    space-to-depth folded on the inference path; the remat (training) path
+    keeps the lane-packed checkpoint layout instead.
+    """
+    specs = encoder_layer_specs(cfg)
+    if fold is None:
+        fold = _fold_default()
+    if fold and not remat:
+        return apply_seanet_folded(params, specs, audio)
+    return apply_seanet(params, specs, audio, remat=remat)
 
 
 def seanet_decode(params: list, cfg: SEANetConfig, z: jnp.ndarray,
