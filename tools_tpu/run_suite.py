@@ -39,22 +39,26 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# pytest -q summary: "12 passed, 1 skipped in 34.56s" (counts optional).
-_SUMMARY_RE = re.compile(
-    r"(?:(\d+) passed)?(?:, )?(?:(\d+) skipped)?(?:, )?(?:(\d+) failed)?"
-    r"(?:, )?(?:(\d+) error(?:s)?)? in ([0-9.]+)s")
+# pytest -q summary line, e.g. "12 passed, 1 skipped, 3 warnings in 34.56s".
+# Parsed token-wise: segments like "N warnings" or "N xfailed" must not
+# break the match (they did in v1 — files with warnings parsed as 0 tests).
+_SUMMARY_LINE_RE = re.compile(r"in [0-9.]+s(?: \(.*\))?\s*=*\s*$")
+_TOKEN_RE = re.compile(r"(\d+) (xfailed|xpassed|passed|skipped|failed|error)")
 
 
 def _parse_counts(output: str) -> dict:
     counts = {"passed": 0, "skipped": 0, "failed": 0, "errors": 0}
     for line in reversed(output.splitlines()):
-        m = _SUMMARY_RE.search(line)
-        if m and any(m.group(i) for i in range(1, 5)):
-            counts["passed"] = int(m.group(1) or 0)
-            counts["skipped"] = int(m.group(2) or 0)
-            counts["failed"] = int(m.group(3) or 0)
-            counts["errors"] = int(m.group(4) or 0)
-            break
+        if not _SUMMARY_LINE_RE.search(line):
+            continue
+        toks = _TOKEN_RE.findall(line)
+        if not toks:
+            continue
+        for num, kind in toks:
+            if kind in ("xfailed", "xpassed"):
+                continue
+            counts["errors" if kind == "error" else kind] = int(num)
+        break
     return counts
 
 
