@@ -220,8 +220,19 @@ def bench_longform_60s():
         n = per_file[0][0].shape[0]
         stride, orig = per_file[0][1], per_file[0][2]
         chunks = jnp.concatenate([c for c, _, _ in per_file], axis=0)
+        # Pad the chunk batch to the next power of two, mirroring the
+        # product path (api/streaming.reconstruct_long_batch buckets).
+        # Measured r4: encode at the raw 4x27=108-chunk geometry costs MORE
+        # absolute time than at 128 (34.2 vs 30.6 ms) — odd batch sizes
+        # tile badly, so the padded batch is a straight win.
+        nb = chunks.shape[0]
+        bucket = 1
+        while bucket < nb:
+            bucket *= 2
+        if bucket > nb:
+            chunks = jnp.pad(chunks, ((0, bucket - nb), (0, 0)))
         feats, _ = wt.encode_infer(params, spec, chunks)
-        dec = wt.decode(params, spec, feats, 0)
+        dec = wt.decode(params, spec, feats, 0)[:nb]
         return jnp.stack([crossfade_join(dec[f * n:(f + 1) * n], stride, orig)
                           for f in range(F)])
 
