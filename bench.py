@@ -262,7 +262,12 @@ def bench_bulk_extract():
 
     spec = WavTokenizerSpec()
     params = jax.device_put(init_wavtokenizer(spec, random_codebook=True))
-    B, SECONDS, SRC_SR = 64, 5.0, 16000
+    # r4 attribution (/tmp-style standalone A/B, CLAUDE.md): the extract
+    # path is ENCODER-bound (resample 3.57 ms vs encode 42.8 ms at B=64),
+    # and B=64 ran ~40% slower per sample than the B=128 sweet spot —
+    # default to 128 like the other batched configs.
+    B = int(os.environ.get("BENCH_EXTRACT_BATCH", 128))
+    SECONDS, SRC_SR = 5.0, 16000
     T = int(SRC_SR * SECONDS)
     rng = np.random.default_rng(0)
     audios = [jax.device_put(jnp.asarray(
