@@ -159,7 +159,8 @@ def _post_norm(conv_p: dict, spec: LayerSpec, x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _apply_resblock(params: dict, spec: LayerSpec, x: jnp.ndarray) -> jnp.ndarray:
+def _apply_resblock(params: dict, spec: LayerSpec, x: jnp.ndarray,
+                    precision=None) -> jnp.ndarray:
     """SEANetResnetBlock: [ELU, conv(k,d), ELU, conv(1)] + shortcut
     (ref: seanet.py:21-63)."""
     h = x
@@ -167,24 +168,27 @@ def _apply_resblock(params: dict, spec: LayerSpec, x: jnp.ndarray) -> jnp.ndarra
                                spec.block_dilations):
         h = jax.nn.elu(h)
         h = sconv1d(h, conv_p["kernel"], conv_p["bias"], stride=1, dilation=dil,
-                    causal=spec.causal, pad_mode=spec.pad_mode)
+                    causal=spec.causal, pad_mode=spec.pad_mode,
+                    precision=precision)
         h = _post_norm(conv_p, spec, h)
     if spec.true_skip:
         short = x
     else:
         sp = params["shortcut"]
         short = sconv1d(x, sp["kernel"], sp["bias"], stride=1, dilation=1,
-                        causal=spec.causal, pad_mode=spec.pad_mode)
+                        causal=spec.causal, pad_mode=spec.pad_mode,
+                        precision=precision)
         short = _post_norm(sp, spec, short)
     return short + h
 
 
 def _apply_layer(p, spec: LayerSpec, x: jnp.ndarray,
-                 final_activation: str | None) -> jnp.ndarray:
+                 final_activation: str | None,
+                 conv_precision=None) -> jnp.ndarray:
     if spec.kind == "conv":
         x = sconv1d(x, p["kernel"], p["bias"], stride=spec.stride,
                     dilation=spec.dilation, causal=spec.causal,
-                    pad_mode=spec.pad_mode)
+                    pad_mode=spec.pad_mode, precision=conv_precision)
         return _post_norm(p, spec, x)
     if spec.kind == "convtr":
         norm_fn = ((lambda y: _time_group_norm(p["gn"], y))
@@ -194,7 +198,7 @@ def _apply_layer(p, spec: LayerSpec, x: jnp.ndarray,
                                  trim_right_ratio=spec.trim_right_ratio,
                                  norm_fn=norm_fn)
     if spec.kind == "resblock":
-        return _apply_resblock(p, spec, x)
+        return _apply_resblock(p, spec, x, precision=conv_precision)
     if spec.kind == "lstm":
         # Pin the recurrent matmuls to bf16x3 (Precision.HIGH): at DEFAULT
         # the TPU LSTM diverges from CPU f32 by up to ~6e-4 relative on the
@@ -314,7 +318,7 @@ def _pack_lanes(x: jnp.ndarray) -> tuple[jnp.ndarray, tuple]:
 
 def apply_seanet(params: list, specs: list[LayerSpec], x: jnp.ndarray,
                  final_activation: str | None = None,
-                 remat: bool = False) -> jnp.ndarray:
+                 remat: bool = False, conv_precision=None) -> jnp.ndarray:
     """Run the flattened sequential model.  x: (B, T, C).
 
     ``remat=True`` wraps each layer in ``jax.checkpoint`` so the backward
@@ -334,18 +338,20 @@ def apply_seanet(params: list, specs: list[LayerSpec], x: jnp.ndarray,
     form.  Inference paths never pass remat (zero cost there)."""
     if not remat:
         for p, spec in zip(params, specs):
-            x = _apply_layer(p, spec, x, final_activation)
+            x = _apply_layer(p, spec, x, final_activation, conv_precision)
         return x
 
     xp, shape = _pack_lanes(x)
     for p, spec in zip(params, specs):
         if spec.kind in ("conv", "convtr", "resblock", "lstm"):
             def fn(p, xq, _s=spec, _shape=shape):
-                h = _apply_layer(p, _s, xq.reshape(_shape), final_activation)
+                h = _apply_layer(p, _s, xq.reshape(_shape), final_activation,
+                                 conv_precision)
                 return _pack_lanes(h)[0]
             shape = jax.eval_shape(
                 lambda p, xq, _s=spec, _shape=shape:
-                    _apply_layer(p, _s, xq.reshape(_shape), final_activation),
+                    _apply_layer(p, _s, xq.reshape(_shape), final_activation,
+                                 conv_precision),
                 p, xp).shape
             xp = jax.checkpoint(fn)(p, xp)
         else:
@@ -368,20 +374,50 @@ def _fold_default() -> bool:
     return os.environ.get("WT_ENCODER_FOLD", "0") == "1"
 
 
+_EXACT = "exact"
+
+
+def _encode_precision(conv_precision):
+    """Resolve the encode-path conv precision.
+
+    Default ("exact") pins the convs to Precision.HIGHEST: measured r4 on
+    v5e, DEFAULT lowers the f32 encoder convs with bf16 multiplies —
+    TPU-vs-CPU embedding divergence of ~1.3e-3 from the very first conv,
+    enough to flip 23/960 small600 token ids vs the CPU/torch-parity golden
+    (caught by the bench golden gate).  HIGHEST restores true-f32 conv
+    accumulation so the discrete codes match the reference bit-for-bit.
+    Training passes None (DEFAULT) — the GAN step's encode feeds a loss,
+    not the token contract, and keeping its HLO unchanged preserves the
+    warm compile caches.  WT_ENCODE_CONV_PRECISION ∈ {highest, high,
+    default} overrides for A/B measurement."""
+    if conv_precision is not _EXACT:
+        return conv_precision
+    import os
+    name = os.environ.get("WT_ENCODE_CONV_PRECISION", "highest")
+    return {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": None}[name]
+
+
 def seanet_encode(params: list, cfg: SEANetConfig, audio: jnp.ndarray,
-                  remat: bool = False, fold: bool | None = None) -> jnp.ndarray:
+                  remat: bool = False, fold: bool | None = None,
+                  conv_precision=_EXACT) -> jnp.ndarray:
     """audio: (B, T, 1) -> latent (B, T', dimension).
 
-    ``fold`` (default env WT_ENCODER_FOLD, on) runs the narrow early layers
-    space-to-depth folded on the inference path; the remat (training) path
-    keeps the lane-packed checkpoint layout instead.
+    ``conv_precision`` defaults to the bit-exact inference pin (see
+    _encode_precision); training passes None.  ``fold`` (default env
+    WT_ENCODER_FOLD, off — measured dead end) runs the narrow early layers
+    space-to-depth folded; the remat (training) path keeps the lane-packed
+    checkpoint layout instead.
     """
     specs = encoder_layer_specs(cfg)
+    conv_precision = _encode_precision(conv_precision)
     if fold is None:
         fold = _fold_default()
     if fold and not remat:
         return apply_seanet_folded(params, specs, audio)
-    return apply_seanet(params, specs, audio, remat=remat)
+    return apply_seanet(params, specs, audio, remat=remat,
+                        conv_precision=conv_precision)
 
 
 def seanet_decode(params: list, cfg: SEANetConfig, z: jnp.ndarray,

@@ -168,7 +168,13 @@ def generator_forward(gen: dict, vq: dict, spec: WavTokenizerSpec,
     training (decoder/models.py:200); validation passes None."""
     enc = fold_tree(gen["encoder"])
     remat_enc = remat if remat_encoder is None else (remat and remat_encoder)
-    emb = seanet_encode(enc, spec.seanet, audio[:, :, None], remat=remat_enc)
+    # conv_precision=None: training encode runs DEFAULT precision — the GAN
+    # step's encode feeds losses, not the token contract (the inference
+    # encode path pins HIGHEST for bit-exact codes; see seanet.py
+    # _encode_precision), and None keeps the train-step HLO / warm compile
+    # caches unchanged.
+    emb = seanet_encode(enc, spec.seanet, audio[:, :, None], remat=remat_enc,
+                        conv_precision=None)
     quantized, codes, commit, new_vq = vq_train_forward(vq, spec.vq, emb, key,
                                                         n_q=n_q)
     # Optional mixed-precision decode side (TrainConfig.gen_compute_dtype):
