@@ -207,8 +207,12 @@ def _apply_layer(p, spec: LayerSpec, x: jnp.ndarray,
         # (128, 225, 512): DEFAULT 4.3 ms / HIGH 6.6 ms / HIGHEST 10.7 ms,
         # with HIGH within 8e-7 of HIGHEST (~55x tighter than DEFAULT) —
         # ~3% of headline throughput buys back the invariant's margin.
-        return slstm(x, p["layers"], skip=True,
-                     precision=jax.lax.Precision.HIGH)
+        # WT_ENCODE_LSTM_PRECISION ∈ {high, highest} for A/B.
+        import os
+        lp = {"high": jax.lax.Precision.HIGH,
+              "highest": jax.lax.Precision.HIGHEST}[
+            os.environ.get("WT_ENCODE_LSTM_PRECISION", "high")]
+        return slstm(x, p["layers"], skip=True, precision=lp)
     if spec.kind == "elu":
         return jax.nn.elu(x)
     if spec.kind == "final_act":
@@ -380,20 +384,24 @@ _EXACT = "exact"
 def _encode_precision(conv_precision):
     """Resolve the encode-path conv precision.
 
-    Default ("exact") pins the convs to Precision.HIGHEST: measured r4 on
-    v5e, DEFAULT lowers the f32 encoder convs with bf16 multiplies —
+    Default ("exact") pins the convs to Precision.HIGH (bf16x3): measured
+    r4 on v5e, DEFAULT lowers the f32 encoder convs with bf16 multiplies —
     TPU-vs-CPU embedding divergence of ~1.3e-3 from the very first conv,
-    enough to flip 23/960 small600 token ids vs the CPU/torch-parity golden
-    (caught by the bench golden gate).  HIGHEST restores true-f32 conv
-    accumulation so the discrete codes match the reference bit-for-bit.
-    Training passes None (DEFAULT) — the GAN step's encode feeds a loss,
-    not the token contract, and keeping its HLO unchanged preserves the
-    warm compile caches.  WT_ENCODE_CONV_PRECISION ∈ {highest, high,
-    default} overrides for A/B measurement."""
+    enough to flip 23/960 small600 token ids vs the CPU/torch-parity
+    golden (caught by the bench golden gate).  HIGH restores the invariant
+    to the residual-noise floor: flips vs the CPU golden measured
+    {small320: 0, small600: 1, music16k: 0} — IDENTICAL to full HIGHEST
+    (conv+LSTM), because the last flip is a genuine Voronoi near-tie that
+    no cross-backend f32 implementation can pin (different sum orders),
+    while HIGH costs 52.9 ms vs HIGHEST's 64.1 ms at (B=128, 3 s)
+    (DEFAULT: 30.3 ms).  Training passes None (DEFAULT) — the GAN step's
+    encode feeds a loss, not the token contract, and keeping its HLO
+    unchanged preserves the warm compile caches.
+    WT_ENCODE_CONV_PRECISION ∈ {highest, high, default} for A/B."""
     if conv_precision is not _EXACT:
         return conv_precision
     import os
-    name = os.environ.get("WT_ENCODE_CONV_PRECISION", "highest")
+    name = os.environ.get("WT_ENCODE_CONV_PRECISION", "high")
     return {"highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
             "default": None}[name]
