@@ -319,21 +319,11 @@ def bench_latency():
         rng.normal(size=(1, T)).astype(np.float32) * 0.1))
 
     @jax.jit
-    def enc(params, a):
-        feats, codes = wt.encode_infer(params, spec, a)
-        return feats
-
-    @jax.jit
-    def dec(params, f):
-        return wt.decode(params, spec, f, 0)
-
-    @jax.jit
     def rt(params, a):
         feats, _ = wt.encode_infer(params, spec, a)
         return wt.decode(params, spec, feats, 0)
 
-    feats = enc(params, audio)
-    wav = dec(params, feats)
+    wav = rt(params, audio)
     np.asarray(wav[:1, :1])
 
     def p50_ms(step, seed_out, back):
@@ -359,18 +349,20 @@ def bench_latency():
             ests.append((t_l - t_s) / 80.0)
         return float(np.min(ests) * 1e3)
 
-    enc_ms = p50_ms(lambda a: enc(params, a), feats,
-                    lambda f: audio + f[:1, :1, :1].reshape(1, 1) * 0.0)
-    dec_ms = p50_ms(lambda f: dec(params, f), wav,
-                    lambda w: feats + w[:1, :1].reshape(1, 1, 1) * 0.0)
     rt_ms = p50_ms(lambda a: rt(params, a), wav,
                    lambda w: audio + w[:1, :1] * 0.0)
+    # Only the ROUNDTRIP is reported: standalone B=1 encode/decode programs
+    # measured SLOWER than the fused roundtrip (10.8 / 6.7 vs 4.4 ms —
+    # per-program layout/dispatch overhead dominates at these scales and
+    # the split numbers mislead).  Per-stage attribution lives in
+    # `tools_tpu/perf_profile.py --batch 1` (single program, internal
+    # stage timing): encoder ~2-4 ms, vq ~1, backbone ~1.2, head ~1.0.
     return {"metric": "latency_ms_p50", "value": round(rt_ms, 3),
             "unit": "ms/3s_clip_roundtrip",
             "vs_baseline": round(3000.0 / rt_ms / 1000.0, 4),
-            "encode_ms": round(enc_ms, 3), "decode_ms": round(dec_ms, 3),
             "roundtrip_ms": round(rt_ms, 3),
-            "note": "B=1 on-device compute (chained timing, min of 8)"}
+            "note": "B=1 on-device roundtrip (chained timing, min of 8); "
+                    "stage split via perf_profile.py --batch 1"}
 
 
 def bench_train_step():
