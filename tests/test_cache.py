@@ -84,3 +84,57 @@ print("SWEPT", not os.path.exists(bad))
                           capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
     assert "SWEPT True" in proc.stdout, proc.stdout
+
+
+def test_read_age_gate(tmp_path):
+    """Guard 5: in readonly mode, cache reads stop after the hit limit —
+    the compile still succeeds (as a miss), the process does not touch the
+    native deserialize path again (the r2/r3 aged-process SIGSEGV site)."""
+    code = """
+import os
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from wavtokenizer_tpu.utils.cache import enable_compilation_cache
+
+# Pass 1 (writes on): compile two programs into the cache.
+os.environ["WT_JAX_CACHE_READONLY"] = "0"
+enable_compilation_cache()
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+f = jax.jit(lambda x: (x @ x).sum() * 2)
+g = jax.jit(lambda x: (x @ x).sum() * 3)
+x = jnp.ones((64, 64), jnp.float32)
+print("p1", float(f(x)), float(g(x)))
+"""
+    code2 = """
+import os
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from jax._src import compilation_cache as _cc
+from wavtokenizer_tpu.utils.cache import enable_compilation_cache
+
+# Pass 2 (readonly, limit 1): first program is served from cache (1 hit),
+# the second read is GATED (miss -> fresh in-process compile, no write).
+os.environ["WT_JAX_CACHE_READONLY"] = "1"
+os.environ["WT_JAX_CACHE_READ_LIMIT"] = "1"
+enable_compilation_cache(readonly=True)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+f = jax.jit(lambda x: (x @ x).sum() * 2)
+g = jax.jit(lambda x: (x @ x).sum() * 3)
+x = jnp.ones((64, 64), jnp.float32)
+v1, v2 = float(f(x)), float(g(x))
+st = _cc._wt_read_gate_state
+print("GATE", st["n"], st["limit"], v1, v2)
+assert st["n"] == st["limit"] == 1, st
+"""
+    env = dict(os.environ)
+    env["WT_JAX_CACHE_DIR"] = str(tmp_path)
+    env["JAX_PLATFORMS"] = "cpu"
+    # min-compile-time gate: make sure our tiny programs are cached at all
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+    for c in (code, code2):
+        proc = subprocess.run([sys.executable, "-c", c], cwd=REPO, env=env,
+                              capture_output=True, text=True, timeout=300)
+        assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    assert "GATE 1 1 524288.0 786432.0" in proc.stdout, proc.stdout

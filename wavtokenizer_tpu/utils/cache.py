@@ -123,6 +123,39 @@ def _sweep(cache_dir: str) -> None:
         f.write("")
 
 
+def _patch_read_age_gate(limit: int) -> None:
+    """Guard 5: stop serving cache READS after ``limit`` hits in-process.
+
+    The aged-process crashes hit BOTH native cache paths: writes
+    (``executable.serialize``, r3 builder) are handled by readonly mode;
+    READS (``get_executable_and_time`` → deserialize) killed the r2 and r3
+    single-process suite runs ~150-170 tests in.  This gate turns the
+    aged-process read into a MISS, so a long-lived ``pytest tests/``
+    process recompiles its tail in-process (slow but alive) instead of
+    segfaulting at test ~169.  The supported suite entry
+    (tools_tpu/run_suite.py) starts a fresh process per file and never
+    reaches the limit, so it is unaffected.  Tune/disable with
+    ``WT_JAX_CACHE_READ_LIMIT`` (<=0 disables the gate entirely)."""
+    from jax._src import compilation_cache as _cc
+    if getattr(_cc, "_wt_read_gate", False):
+        return
+
+    orig_get = _cc.get_executable_and_time
+    state = {"n": 0, "limit": limit}
+
+    def get_executable_and_time(*args, **kwargs):
+        if state["n"] >= state["limit"]:
+            return None, None
+        out = orig_get(*args, **kwargs)
+        if out and out[0] is not None:
+            state["n"] += 1
+        return out
+
+    _cc.get_executable_and_time = get_executable_and_time
+    _cc._wt_read_gate = True
+    _cc._wt_read_gate_state = state
+
+
 def _patch_readonly() -> None:
     """Disable cache writes: no-op jax's ``put_executable_and_time`` BEFORE
     it reaches ``executable.serialize()`` (the observed long-process
@@ -170,6 +203,13 @@ def enable_compilation_cache(cache_dir: str | None = None,
     _patch_atomic_put()
     if readonly:
         _patch_readonly()
+        # Readonly marks a LONG-LIVED process (the single-process suite):
+        # also age-gate reads (guard 5).  200 hits is far beyond any single
+        # test file's needs yet safely before the observed ~150-test crash
+        # horizon (exact hit-count threshold unknown; tune via env).
+        read_limit = int(os.environ.get("WT_JAX_CACHE_READ_LIMIT", "200"))
+        if read_limit > 0:
+            _patch_read_age_gate(read_limit)
     _sweep(cache_dir)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
