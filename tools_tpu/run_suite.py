@@ -16,8 +16,8 @@ process is short-lived, cache WRITES are safe to re-enable
     python tools_tpu/run_suite.py tests/test_ops.py tests/test_api.py
     python tools_tpu/run_suite.py --report /tmp/r.json
 
-A subprocess that dies on a signal (rc >= 128 or rc < 0: SIGSEGV=139,
-SIGABRT=134) is retried ONCE in a fresh process — a signal death is the
+A subprocess that dies on a signal (rc < 0 on POSIX: SIGSEGV=-11,
+SIGABRT=-6) is retried ONCE in a fresh process — a signal death is the
 environment crash this script exists to contain, not a test failure.
 Ordinary test failures (rc 1) are never retried.  Exit code is 0 iff every
 file finishes green; a JSON report (per-file rc/counts/wall) is always
@@ -96,13 +96,21 @@ def main(argv: list[str]) -> int:
     for i, f in enumerate(files, 1):
         print(f"[run_suite] ({i}/{len(files)}) {f} ...", flush=True)
         rec = _run_file(f, env)
-        died_on_signal = rec["rc"] >= 128 or rec["rc"] < 0
+        # subprocess.run reports signal deaths as NEGATIVE returncodes on
+        # POSIX (-signum); an rc >= 128 here would be a pytest exit code,
+        # not a signal (ADVICE r4: the old `rc >= 128` arm was dead code).
+        died_on_signal = rec["rc"] < 0
         if died_on_signal and not args.no_retry:
             print(f"[run_suite] {f}: DIED rc={rec['rc']} (signal) — retrying "
                   "once in a fresh process", flush=True)
             rec = _run_file(f, env)
             rec["retried"] = True
-        status = ("ok" if rec["rc"] == 0 else f"FAILED rc={rec['rc']}")
+        if rec["rc"] == 5:
+            # pytest 5 = "no tests collected": flag distinctly — an
+            # accidentally emptied test file should not read as a crash.
+            status = "FAILED rc=5 (NO TESTS COLLECTED)"
+        else:
+            status = ("ok" if rec["rc"] == 0 else f"FAILED rc={rec['rc']}")
         print(f"[run_suite] {f}: {status} "
               f"({rec['passed']} passed, {rec['skipped']} skipped, "
               f"{rec['failed']} failed, {rec['wall_s']:.0f}s)", flush=True)

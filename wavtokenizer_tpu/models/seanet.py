@@ -223,7 +223,7 @@ def _apply_layer(p, spec: LayerSpec, x: jnp.ndarray,
 
 
 def _apply_resblock_folded(params: dict, spec: LayerSpec, xf: jnp.ndarray,
-                           F: int) -> jnp.ndarray:
+                           F: int, precision=None) -> jnp.ndarray:
     """SEANetResnetBlock on the folded layout (stride-1 convs keep F)."""
     from ..ops.fold import folded_sconv1d
 
@@ -233,19 +233,19 @@ def _apply_resblock_folded(params: dict, spec: LayerSpec, xf: jnp.ndarray,
         h = jax.nn.elu(h)
         h = folded_sconv1d(h, F, F, conv_p["kernel"], conv_p["bias"],
                            stride=1, dilation=dil, causal=spec.causal,
-                           pad_mode=spec.pad_mode)
+                           pad_mode=spec.pad_mode, precision=precision)
     if spec.true_skip:
         short = xf
     else:
         sp = params["shortcut"]
         short = folded_sconv1d(xf, F, F, sp["kernel"], sp["bias"], stride=1,
                                dilation=1, causal=spec.causal,
-                               pad_mode=spec.pad_mode)
+                               pad_mode=spec.pad_mode, precision=precision)
     return short + h
 
 
 def apply_seanet_folded(params: list, specs: list[LayerSpec],
-                        x: jnp.ndarray) -> jnp.ndarray:
+                        x: jnp.ndarray, conv_precision=None) -> jnp.ndarray:
     """Encoder stack with narrow-channel layers space-to-depth folded.
 
     The early encoder convs (1-64 channels over 36k-72k samples) under-tile
@@ -260,6 +260,10 @@ def apply_seanet_folded(params: list, specs: list[LayerSpec],
 
     Falls back to the plain layer for shapes the fold cannot serve
     (non-divisible T, time_group_norm variants, transposed convs).
+
+    ``conv_precision`` carries the encode-path bit-exactness pin (ADVICE r4
+    medium: the fold previously dropped it, silently running DEFAULT — the
+    exact bf16-multiply regression the pin exists to prevent).
     """
     from ..ops.fold import folded_sconv1d, refold, target_fold
     from ..ops.padding import sconv1d_paddings
@@ -282,11 +286,13 @@ def apply_seanet_folded(params: list, specs: list[LayerSpec],
                 xf = refold(xf, F, F_in)
                 xf = folded_sconv1d(xf, F_in, F_out, kern, p["bias"],
                                     stride=spec.stride, dilation=spec.dilation,
-                                    causal=spec.causal, pad_mode=spec.pad_mode)
+                                    causal=spec.causal, pad_mode=spec.pad_mode,
+                                    precision=conv_precision)
                 F = F_out
                 continue
         if spec.kind == "resblock" and foldable and F > 1:
-            xf = _apply_resblock_folded(p, spec, xf, F)
+            xf = _apply_resblock_folded(p, spec, xf, F,
+                                        precision=conv_precision)
             continue
         if spec.kind in ("elu", "final_act"):
             xf = _apply_layer(p, spec, xf, None)
@@ -294,7 +300,7 @@ def apply_seanet_folded(params: list, specs: list[LayerSpec],
         # Fallback: unfold and run the plain layer.
         xf = refold(xf, F, 1)
         F = 1
-        xf = _apply_layer(p, spec, xf, None)
+        xf = _apply_layer(p, spec, xf, None, conv_precision=conv_precision)
     return refold(xf, F, 1)
 
 
@@ -423,7 +429,8 @@ def seanet_encode(params: list, cfg: SEANetConfig, audio: jnp.ndarray,
     if fold is None:
         fold = _fold_default()
     if fold and not remat:
-        return apply_seanet_folded(params, specs, audio)
+        return apply_seanet_folded(params, specs, audio,
+                                   conv_precision=conv_precision)
     return apply_seanet(params, specs, audio, remat=remat,
                         conv_precision=conv_precision)
 

@@ -170,9 +170,9 @@ def generator_forward(gen: dict, vq: dict, spec: WavTokenizerSpec,
     remat_enc = remat if remat_encoder is None else (remat and remat_encoder)
     # conv_precision=None: training encode runs DEFAULT precision — the GAN
     # step's encode feeds losses, not the token contract (the inference
-    # encode path pins HIGHEST for bit-exact codes; see seanet.py
-    # _encode_precision), and None keeps the train-step HLO / warm compile
-    # caches unchanged.
+    # encode path pins its convs to Precision.HIGH, with only the VQ
+    # distance at HIGHEST; see seanet.py _encode_precision), and None keeps
+    # the train-step HLO / warm compile caches unchanged.
     emb = seanet_encode(enc, spec.seanet, audio[:, :, None], remat=remat_enc,
                         conv_precision=None)
     quantized, codes, commit, new_vq = vq_train_forward(vq, spec.vq, emb, key,
