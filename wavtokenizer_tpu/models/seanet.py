@@ -413,6 +413,15 @@ def _encode_precision(conv_precision):
             "default": None}[name]
 
 
+def _plain_front(params: list, specs: list[LayerSpec],
+                 a: jnp.ndarray) -> jnp.ndarray:
+    """Layers 0-6 via the plain path at the Precision.HIGH pin — the edge
+    oracle for the fused front kernel (ops/encoder_front.py)."""
+    for p, spec in zip(params[:7], specs[:7]):
+        a = _apply_layer(p, spec, a, None, jax.lax.Precision.HIGH)
+    return a
+
+
 def seanet_encode(params: list, cfg: SEANetConfig, audio: jnp.ndarray,
                   remat: bool = False, fold: bool | None = None,
                   conv_precision=_EXACT) -> jnp.ndarray:
@@ -423,6 +432,11 @@ def seanet_encode(params: list, cfg: SEANetConfig, audio: jnp.ndarray,
     WT_ENCODER_FOLD, off — measured dead end) runs the narrow early layers
     space-to-depth folded; the remat (training) path keeps the lane-packed
     checkpoint layout instead.
+
+    When the resolved precision is the HIGH pin and the geometry matches,
+    the narrow front (layers 0-6) runs as one fused Pallas kernel
+    (ops/encoder_front.py) with the same bf16x3 numerical contract —
+    the r5 single-chip lever (VERDICT r4 next #1).
     """
     specs = encoder_layer_specs(cfg)
     conv_precision = _encode_precision(conv_precision)
@@ -431,6 +445,17 @@ def seanet_encode(params: list, cfg: SEANetConfig, audio: jnp.ndarray,
     if fold and not remat:
         return apply_seanet_folded(params, specs, audio,
                                    conv_precision=conv_precision)
+    if not remat and conv_precision == jax.lax.Precision.HIGH:
+        from ..ops.encoder_front import (encoder_front_fused,
+                                         front_geometry_matches,
+                                         use_encoder_front)
+        if (use_encoder_front()
+                and front_geometry_matches(specs, params, audio.shape[1])):
+            x = encoder_front_fused(params, specs, audio,
+                                    edge_fn=_plain_front)
+            for p, spec in zip(params[7:], specs[7:]):
+                x = _apply_layer(p, spec, x, None, conv_precision)
+            return x
     return apply_seanet(params, specs, audio, remat=remat,
                         conv_precision=conv_precision)
 
