@@ -185,6 +185,22 @@ def bench_small600_single():
                             golden_key="small600")
 
 
+def bench_small600_batch():
+    """Batched throughput of the 40-tok/s flagship (VERDICT r4 next #4):
+    the small-600 config (ratios [6,5,5,4], n_fft 2400/hop 600 —
+    ref README.md:167, configs/...frame40...yaml) at the B=128 x 3 s
+    sweet spot, next to the dispatch-floor-bound single-clip row.  Shares
+    the small600 golden-token gate."""
+    from wavtokenizer_tpu import (ISTFTHeadConfig, SEANetConfig,
+                                  WavTokenizerSpec)
+    spec = WavTokenizerSpec(
+        seanet=SEANetConfig(ratios=(6, 5, 5, 4)),
+        head=ISTFTHeadConfig(n_fft=2400, hop_length=600))
+    B = int(os.environ.get("BENCH_BATCH", 128))
+    return _roundtrip_bench(spec, B, 3.0, "small600_batch_rtf",
+                            golden_key="small600")
+
+
 def bench_music16k():
     from wavtokenizer_tpu import WavTokenizerSpec
     spec = WavTokenizerSpec(sample_rate=16000)
@@ -532,7 +548,8 @@ def main():
     print(json.dumps(headline))
     if "--all" in sys.argv:
         results = [headline]
-        for fn in (bench_detokenize, bench_small600_single, bench_music16k,
+        for fn in (bench_detokenize, bench_small600_single,
+                   bench_small600_batch, bench_music16k,
                    bench_longform_60s, bench_bulk_extract, bench_latency,
                    bench_train_step, bench_train_step_bf16,
                    bench_train_step_bf16_mixed):
