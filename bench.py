@@ -414,8 +414,13 @@ def bench_train_step():
     # BENCH_TRAIN_GEN_DTYPE=bfloat16 additionally runs the generator's
     # backbone+head compute in bf16 (TrainConfig.gen_compute_dtype; the
     # encoder/VQ path and all master state stay f32).
+    # BENCH_TRAIN_REMAT_DISC=0 measures the stored-disc-activation variant
+    # (TrainConfig.remat_disc=False: skip the discriminator-side remat
+    # recompute — the r5 attribution's top lever, +31% f32 at batch 40,
+    # peak 15.32 GiB).
     tcfg = TrainConfig(
         remat_encoder=os.environ.get("BENCH_TRAIN_REMAT_ENC", "1") == "1",
+        remat_disc=os.environ.get("BENCH_TRAIN_REMAT_DISC", "1") == "1",
         disc_compute_dtype=os.environ.get("BENCH_TRAIN_DISC_DTYPE",
                                           "float32"),
         gen_compute_dtype=os.environ.get("BENCH_TRAIN_GEN_DTYPE",
@@ -459,6 +464,31 @@ def bench_train_step():
                      "+ 3 discriminator families), ~30x inference FLOPs; "
                      "the 1000x baseline target applies to the inference "
                      "metrics above")}
+
+
+def bench_train_step_stored_disc():
+    """Stored-disc-activation GAN-step variant (the r5 train attribution's
+    top lever, tools_tpu/train_profile.py): ~95% of the f32 step is
+    discriminator work and the per-scalar disc remat recomputes every
+    sub-discriminator forward in BOTH backwards; TrainConfig.
+    remat_disc=False stores those activations instead.  Measured r5 at
+    batch 40: 66.8 RTF vs 50.8 f32 default (+31%), peak 15.32 GiB of
+    15.75 usable (mem_probe --no-remat-disc) — kept OPTIONAL because
+    0.43 GiB headroom is too thin for a production default."""
+    prev = os.environ.get("BENCH_TRAIN_REMAT_DISC")
+    os.environ["BENCH_TRAIN_REMAT_DISC"] = "0"
+    try:
+        r = bench_train_step()
+    finally:
+        if prev is None:
+            os.environ.pop("BENCH_TRAIN_REMAT_DISC", None)
+        else:
+            os.environ["BENCH_TRAIN_REMAT_DISC"] = prev
+    r["metric"] = "train_step_rtf_stored_disc"
+    r["note"] = ("f32, discriminator activations stored instead of "
+                 "rematerialized (TrainConfig.remat_disc=False); "
+                 "15.32 GiB peak at batch 40")
+    return r
 
 
 def bench_train_step_bf16():
@@ -551,8 +581,8 @@ def main():
         for fn in (bench_detokenize, bench_small600_single,
                    bench_small600_batch, bench_music16k,
                    bench_longform_60s, bench_bulk_extract, bench_latency,
-                   bench_train_step, bench_train_step_bf16,
-                   bench_train_step_bf16_mixed):
+                   bench_train_step, bench_train_step_stored_disc,
+                   bench_train_step_bf16, bench_train_step_bf16_mixed):
             # Isolate each config: the axon remote-compile helper can die
             # transiently (observed: SIGKILL mid GAN-step compile, HTTP 500
             # from /remote_compile) — retry once, then record the failure

@@ -202,3 +202,48 @@ def test_train_step_accepts_gen_compute_dtype():
     np.testing.assert_allclose(np.asarray(m16["mel_loss"]),
                                np.asarray(m32["mel_loss"]),
                                rtol=0.05, atol=0.05)
+
+
+def test_remat_disc_off_matches_default():
+    """TrainConfig.remat_disc=False (store discriminator activations
+    instead of the per-scalar remat recompute — the r5 train-attribution
+    lever, +31% measured f32 at batch 40) is semantically a no-op: one
+    full train_step must produce the same metrics and state to f32
+    scheduling tolerance."""
+    from wavtokenizer_tpu import (ISTFTHeadConfig, SEANetConfig, VQConfig,
+                                  VocosBackboneConfig, WavTokenizerSpec)
+    from wavtokenizer_tpu.train.step import (TrainConfig, create_train_state,
+                                             train_step)
+
+    spec = WavTokenizerSpec(
+        seanet=SEANetConfig(dimension=16, n_filters=2, ratios=(8, 5, 4, 2)),
+        vq=VQConfig(dimension=16, bins=32, kmeans_iters=2),
+        backbone=VocosBackboneConfig(input_channels=16, dim=32,
+                                     intermediate_dim=64, num_layers=1,
+                                     adanorm_num_embeddings=4),
+        head=ISTFTHeadConfig(dim=32, n_fft=1280, hop_length=320),
+    )
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.normal(size=(2, 3840)).astype(np.float32) * 0.1)
+    key = jax.random.PRNGKey(0)
+
+    outs = {}
+    for remat_disc in (True, False):
+        tcfg = TrainConfig(max_steps=100, disc_channels_scale=1 / 16,
+                           remat_disc=remat_disc, pos_dropout=0.0)
+        state = create_train_state(spec, tcfg, seed=0)
+        new_state, metrics = train_step(state, audio, key, spec, tcfg,
+                                        jnp.asarray(45.0))
+        outs[remat_disc] = (jax.device_get(new_state), jax.device_get(metrics))
+
+    (st_a, m_a), (st_b, m_b) = outs[True], outs[False]
+    for k in m_a:
+        np.testing.assert_allclose(m_a[k], m_b[k], rtol=2e-4, atol=2e-4,
+                                   err_msg=k)
+    for la, lb in zip(jax.tree_util.tree_leaves(st_a),
+                      jax.tree_util.tree_leaves(st_b)):
+        # AdamW's m/(sqrt(v)+eps) is ill-conditioned for the near-zero
+        # grads of step 1, so identical math can yield updates differing
+        # by up to the lr under f32 reassociation; bound the DISTANCE by
+        # one update (2e-4) instead of demanding elementwise closeness.
+        np.testing.assert_allclose(la, lb, rtol=0, atol=5e-4)

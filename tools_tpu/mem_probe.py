@@ -26,6 +26,8 @@ def main(argv=None):
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--no-remat-encoder", action="store_true",
                     help="selective remat: store encoder activations")
+    ap.add_argument("--no-remat-disc", action="store_true",
+                    help="selective remat: store discriminator activations")
     ap.add_argument("--disc-dtype", default="float32",
                     help="discriminator compute dtype (mixed precision; "
                          "e.g. bfloat16)")
@@ -50,6 +52,7 @@ def main(argv=None):
     spec = WavTokenizerSpec()
     tcfg = TrainConfig(remat=not args.no_remat,
                        remat_encoder=not args.no_remat_encoder,
+                       remat_disc=not args.no_remat_disc,
                        disc_compute_dtype=args.disc_dtype)
 
     # Shapes only — no device buffers, no execution.
@@ -65,7 +68,7 @@ def main(argv=None):
     ma = compiled.memory_analysis()
     gib = 1024 ** 3
     print(f"batch={B} T={T} remat={tcfg.remat} remat_enc={tcfg.remat_encoder} "
-          f"platform={jax.devices()[0].platform}")
+          f"remat_disc={tcfg.remat_disc} platform={jax.devices()[0].platform}")
     if ma is None:
         print("memory_analysis unavailable on this backend")
         return 0

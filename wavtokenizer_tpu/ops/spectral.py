@@ -79,6 +79,88 @@ def _iswdft_matrix(n_fft: int, win_length: int) -> np.ndarray:
     return (M * w[None, :]).astype(np.float32)
 
 
+@lru_cache(maxsize=8)
+def _iswdft_half_matrices(n_fft: int, win_length: int):
+    """Half-size inverse-DFT matrices + fold twiddles for the radix-2 path.
+
+    One decimation-in-time step on the OUTPUT index of the windowed
+    irfft: even samples y[2m] are the N/2-point irDFT of the mod-N/2
+    FOLDED spectrum G[j'] = S[j'] + conj(S[N/2-j']), odd samples use the
+    twiddled difference H[j'] = (S[j'] - conj(S[N/2-j'])) * e^{2i pi j'/N}
+    — both Hermitian, so each needs only bins 0..N/4.  The two matmuls
+    carry HALF the MACs of the full (2(N/2+1), N) matrix; the fold is a
+    handful of VPU adds/multiplies.  Windows fold into the matrices
+    (even/odd column slices, with the irfft_{N/2} = 2/N scale absorbed as
+    the 1/2 factor).
+
+    Returns (M_even, M_odd) each (2*(N/4+1), N/2) f32, plus the twiddle
+    (cos, sin) vectors (N/4+1,) f64->f32.
+    """
+    N = n_fft
+    assert N % 4 == 0, N
+    N2 = N // 2
+    Nb2 = N2 // 2 + 1
+    k = np.arange(Nb2, dtype=np.float64)[:, None]
+    n = np.arange(N2, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * n / N2
+    c = np.full((Nb2, 1), 2.0)
+    c[0] = 1.0
+    c[-1] = 1.0
+    w = hann_window(win_length).astype(np.float64)
+    if win_length < N:
+        lpad = (N - win_length) // 2
+        w = np.pad(w, (lpad, N - win_length - lpad))
+    base_cos = c * np.cos(ang) / N2
+    base_sin = -c * np.sin(ang) / N2
+    m_even = np.concatenate([base_cos, base_sin], axis=0) * (0.5 * w[0::2])
+    m_odd = np.concatenate([base_cos, base_sin], axis=0) * (0.5 * w[1::2])
+    phi = 2.0 * np.pi * np.arange(Nb2, dtype=np.float64) / N
+    return (m_even.astype(np.float32), m_odd.astype(np.float32),
+            np.cos(phi).astype(np.float32), np.sin(phi).astype(np.float32))
+
+
+def _iswdft_radix2(spec_real: jnp.ndarray, spec_imag: jnp.ndarray,
+                   n_fft: int, win_length: int) -> jnp.ndarray:
+    """Windowed inverse real-DFT frames via one radix-2 decimation step.
+
+    Mathematically identical to ``coeffs @ _iswdft_matrix`` (the bins-0 and
+    N/2 imaginary parts are ignored there because sin(0) = sin(pi n) = 0;
+    zeroing them here keeps the fold exactly equivalent — pinned by
+    tests/test_ops.py::test_istft_radix2_matches_matmul).  Halves the
+    HIGH-precision MXU work: the head's iDFT is the dominant term of the
+    ISTFT head's 4.6 ms at B=128 (VERDICT r4 next #7).
+    """
+    N = n_fft
+    N2, Nb2 = N // 2, N // 4 + 1
+    me, mo, tc, ts = _iswdft_half_matrices(n_fft, win_length)
+    zero_edges = jnp.ones((spec_imag.shape[-1],), spec_imag.dtype
+                          ).at[0].set(0.0).at[-1].set(0.0)
+    im = spec_imag * zero_edges
+    re = spec_real
+    # S[j'] and conj(S[N2-j']) for j' in [0, Nb2): flipped views.
+    re_f = re[..., N2 - Nb2 + 1:][..., ::-1]    # Re S[N2-j']
+    im_f = im[..., N2 - Nb2 + 1:][..., ::-1]    # Im S[N2-j']
+    re_l, im_l = re[..., :Nb2], im[..., :Nb2]
+    g_re = re_l + re_f
+    g_im = im_l - im_f
+    d_re = re_l - re_f
+    d_im = im_l + im_f
+    h_re = d_re * tc - d_im * ts
+    h_im = d_re * ts + d_im * tc
+    hi = jax.lax.Precision.HIGH
+    fe = jax.lax.dot_general(
+        jnp.concatenate([g_re, g_im], axis=-1), jnp.asarray(me),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi)
+    fo = jax.lax.dot_general(
+        jnp.concatenate([h_re, h_im], axis=-1), jnp.asarray(mo),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi)
+    B, T = fe.shape[0], fe.shape[1]
+    return jnp.stack([fe, fo], axis=-1).reshape(B, T, N).astype(
+        spec_real.dtype)
+
+
 @lru_cache(maxsize=32)
 def _window_envelope_np(n_fft: int, hop_length: int, win_length: int,
                         T: int, pad: int) -> np.ndarray:
@@ -154,7 +236,9 @@ def _istft_impl(spec_real: jnp.ndarray, spec_imag: jnp.ndarray, n_fft: int,
 
     # Frames already windowed: win_length == n_fft in every shipped config;
     # for win < n_fft the matrix embeds the centered window.
-    if method == "matmul":
+    if method == "radix2":
+        ifft = _iswdft_radix2(spec_real, spec_imag, n_fft, win_length)
+    elif method == "matmul":
         coeffs = jnp.concatenate([spec_real, spec_imag], axis=-1)  # (B, T, 2N)
         M = jnp.asarray(_iswdft_matrix(n_fft, win_length))
         ifft = jax.lax.dot_general(

@@ -66,6 +66,16 @@ class TrainConfig:
     # Spends part of the batch-40 headroom to recover forward FLOPs;
     # see CLAUDE.md "Training memory" for the measured numbers.
     remat_encoder: bool = True
+    # Selective remat, discriminator side (r5 train attribution,
+    # tools_tpu/train_profile.py): ~95% of the f32 step is discriminator
+    # work (disc_phase 946 ms + gen-phase disc terms ~1220 ms vs 41 ms for
+    # the whole mel+commit generator fwd+bwd at batch 40), and the
+    # per-scalar disc remat recomputes every sub-discriminator forward in
+    # BOTH backwards.  False stores the disc activations instead (the
+    # generator remat is untouched) — spends HBM headroom to skip the
+    # recompute.  Default True = the memory-safe production graph; see
+    # CLAUDE.md "Training memory" for the measured peak/speed trade.
+    remat_disc: bool = True
     # Training-time dropout inside the backbone pos-net resblocks
     # (the reference trains with 0.1, decoder/models.py:200).
     pos_dropout: float = 0.1
@@ -217,8 +227,10 @@ def _disc_loss_fn(disc, audio_hat, audio, bandwidth_id, mrd_coeff,
 def _gen_loss_fn(gen, disc, vq, spec, audio, bandwidth_id, key, n_q,
                  mel_coeff, mrd_coeff, train_discriminator, remat=False,
                  dropout_rng=None, dropout_rate=0.0, remat_encoder=None,
-                 compute_dtype=None, gen_compute_dtype=None):
+                 compute_dtype=None, gen_compute_dtype=None,
+                 remat_disc=None):
     """ref: experiment.py:151-218."""
+    disc_remat = remat if remat_disc is None else (remat and remat_disc)
     audio_hat, commit_loss, new_vq = generator_forward(
         gen, vq, spec, audio, bandwidth_id, key, n_q, remat=remat,
         dropout_rng=dropout_rng, dropout_rate=dropout_rate,
@@ -228,14 +240,14 @@ def _gen_loss_fn(gen, disc, vq, spec, audio, bandwidth_id, key, n_q,
     loss = mel_coeff * l_mel + 1000.0 * commit_loss
     if train_discriminator:
         dac_g, dac_feat = dac_gen_loss_fused(disc, audio_hat, audio,
-                                             remat=remat,
+                                             remat=disc_remat,
                                              compute_dtype=compute_dtype)
         loss_gen_mp, loss_fm_mp = vocos_gen_loss_fused(
-            disc["mpd"], "mpd", audio, audio_hat, bandwidth_id, remat=remat,
-            compute_dtype=compute_dtype)
+            disc["mpd"], "mpd", audio, audio_hat, bandwidth_id,
+            remat=disc_remat, compute_dtype=compute_dtype)
         loss_gen_mrd, loss_fm_mrd = vocos_gen_loss_fused(
-            disc["mrd"], "mrd", audio, audio_hat, bandwidth_id, remat=remat,
-            compute_dtype=compute_dtype)
+            disc["mrd"], "mrd", audio, audio_hat, bandwidth_id,
+            remat=disc_remat, compute_dtype=compute_dtype)
         loss = (loss + loss_gen_mp + mrd_coeff * loss_gen_mrd + loss_fm_mp
                 + mrd_coeff * loss_fm_mrd + dac_g + dac_feat)
         metrics.update({"gen_mp": loss_gen_mp, "gen_mrd": loss_gen_mrd,
@@ -281,7 +293,8 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
         (_, d_metrics), d_grads = jax.value_and_grad(
             _disc_loss_fn, has_aux=True)(disc, audio_hat_d, audio,
                                          bandwidth_id, tcfg.mrd_loss_coeff,
-                                         tcfg.remat, disc_dtype)
+                                         tcfg.remat and tcfg.remat_disc,
+                                         disc_dtype)
         d_updates, new_opt_disc = opt_disc_tx.update(d_grads,
                                                      state["opt_disc"], disc)
         disc = optax.apply_updates(disc, d_updates)
@@ -303,7 +316,8 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
                                     bandwidth_id, k_vq2, n_q, mel_coeff,
                                     tcfg.mrd_loss_coeff, train_discriminator,
                                     tcfg.remat, k_drop2, tcfg.pos_dropout,
-                                    tcfg.remat_encoder, disc_dtype, gen_dtype)
+                                    tcfg.remat_encoder, disc_dtype, gen_dtype,
+                                    tcfg.remat_disc)
     g_updates, new_opt_gen = opt_gen_tx.update(g_grads, state["opt_gen"],
                                                state["gen"])
     gen = optax.apply_updates(state["gen"], g_updates)
