@@ -12,6 +12,7 @@ All functions are channel-last / time-major-frames: frames are (B, T, F).
 from __future__ import annotations
 
 import math
+import os
 from functools import lru_cache
 
 import jax
@@ -185,7 +186,7 @@ def _window_envelope_np(n_fft: int, hop_length: int, win_length: int,
 
 def istft_same(spec_real: jnp.ndarray, spec_imag: jnp.ndarray, n_fft: int,
                hop_length: int, win_length: int | None = None,
-               method: str = "matmul") -> jnp.ndarray:
+               method: str | None = None) -> jnp.ndarray:
     """ISTFT with "same" padding (trim (W-hop)//2 from both ends).
 
     Matches reference ISTFT.forward (decoder/spectral_ops.py:33-75):
@@ -210,6 +211,17 @@ def istft_same(spec_real: jnp.ndarray, spec_imag: jnp.ndarray, n_fft: int,
     if win_length != n_fft:
         raise NotImplementedError(
             "istft_same requires win_length == n_fft (reference constraint)")
+    if method is None:
+        # Default stays the dense matmul: the radix-2 decimated variant
+        # (_iswdft_radix2, WT_ISTFT_METHOD=radix2) halves the HIGH-
+        # precision MXU MACs and is value-identical to f32 rounding, but
+        # MEASURED SLOWER on v5e at the head's shapes (B=128, T'=225,
+        # 1280/320): 4.10 ms vs 3.09 ms standalone head — the spectrum
+        # fold, the 642->768 K-tile padding of the half matmuls, and the
+        # even/odd frame interleave cost more than the saved MACs.  Kept
+        # opt-in as a measured dead end (r5; parity test in
+        # tests/test_ops.py).
+        method = os.environ.get("WT_ISTFT_METHOD", "matmul")
     pad = (win_length - hop_length) // 2
     return _istft_impl(spec_real, spec_imag, n_fft, hop_length, win_length,
                        pad, method)
