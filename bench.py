@@ -501,6 +501,32 @@ def bench_train_step_stored_disc():
     return r
 
 
+def bench_train_step_fast():
+    """Fastest measured training configuration: stored disc activations
+    (remat_disc=False) + bf16 discriminator compute stacks.  Measured r5
+    at batch 40: 82.8 RTF (+63% over the 50.8 f32 default), peak
+    13.15 GiB (comfortable).  Master params / losses / grads stay f32
+    either way; the defaults remain full-parity f32 + full remat."""
+    prev_r = os.environ.get("BENCH_TRAIN_REMAT_DISC")
+    prev_d = os.environ.get("BENCH_TRAIN_DISC_DTYPE")
+    os.environ["BENCH_TRAIN_REMAT_DISC"] = "0"
+    os.environ["BENCH_TRAIN_DISC_DTYPE"] = "bfloat16"
+    try:
+        r = bench_train_step()
+    finally:
+        for k, v in (("BENCH_TRAIN_REMAT_DISC", prev_r),
+                     ("BENCH_TRAIN_DISC_DTYPE", prev_d)):
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    r["metric"] = "train_step_rtf_fast"
+    r["note"] = ("fastest option stack: disc activations stored "
+                 "(remat_disc=False) + disc compute bf16; 13.15 GiB peak "
+                 "at batch 40; defaults stay parity-f32 + full remat")
+    return r
+
+
 def bench_train_step_bf16():
     """Mixed-precision GAN-step variant: TrainConfig.disc_compute_dtype=
     "bfloat16" runs the discriminator conv stacks in bf16 (master params,
@@ -592,7 +618,8 @@ def main():
                    bench_small600_batch, bench_music16k,
                    bench_longform_60s, bench_bulk_extract, bench_latency,
                    bench_train_step, bench_train_step_stored_disc,
-                   bench_train_step_bf16, bench_train_step_bf16_mixed):
+                   bench_train_step_fast, bench_train_step_bf16,
+                   bench_train_step_bf16_mixed):
             # Isolate each config: the axon remote-compile helper can die
             # transiently (observed: SIGKILL mid GAN-step compile, HTTP 500
             # from /remote_compile) — retry once, then record the failure
