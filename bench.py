@@ -427,10 +427,13 @@ def bench_train_step():
     # BENCH_TRAIN_REMAT_DISC=0 measures the stored-disc-activation variant
     # (TrainConfig.remat_disc=False: skip the discriminator-side remat
     # recompute — the r5 attribution's top lever, +31% f32 at batch 40,
-    # peak 15.32 GiB).
+    # peak 15.32 GiB); BENCH_TRAIN_REMAT_DISC=store_dac stores only the
+    # DAC family (remat_disc="store_dac" — measured dead end at batch 40:
+    # OOMs at 16.04 GiB, see TrainConfig docstring).
+    _rd = os.environ.get("BENCH_TRAIN_REMAT_DISC", "1")
     tcfg = TrainConfig(
         remat_encoder=os.environ.get("BENCH_TRAIN_REMAT_ENC", "1") == "1",
-        remat_disc=os.environ.get("BENCH_TRAIN_REMAT_DISC", "1") == "1",
+        remat_disc="store_dac" if _rd == "store_dac" else _rd == "1",
         disc_compute_dtype=os.environ.get("BENCH_TRAIN_DISC_DTYPE",
                                           "float32"),
         gen_compute_dtype=os.environ.get("BENCH_TRAIN_GEN_DTYPE",

@@ -228,7 +228,7 @@ def test_remat_disc_off_matches_default():
     key = jax.random.PRNGKey(0)
 
     outs = {}
-    for remat_disc in (True, False):
+    for remat_disc in (True, False, "store_dac"):
         tcfg = TrainConfig(max_steps=100, disc_channels_scale=1 / 16,
                            remat_disc=remat_disc, pos_dropout=0.0)
         state = create_train_state(spec, tcfg, seed=0)
@@ -236,14 +236,16 @@ def test_remat_disc_off_matches_default():
                                         jnp.asarray(45.0))
         outs[remat_disc] = (jax.device_get(new_state), jax.device_get(metrics))
 
-    (st_a, m_a), (st_b, m_b) = outs[True], outs[False]
-    for k in m_a:
-        np.testing.assert_allclose(m_a[k], m_b[k], rtol=2e-4, atol=2e-4,
-                                   err_msg=k)
-    for la, lb in zip(jax.tree_util.tree_leaves(st_a),
-                      jax.tree_util.tree_leaves(st_b)):
-        # AdamW's m/(sqrt(v)+eps) is ill-conditioned for the near-zero
-        # grads of step 1, so identical math can yield updates differing
-        # by up to the lr under f32 reassociation; bound the DISTANCE by
-        # one update (2e-4) instead of demanding elementwise closeness.
-        np.testing.assert_allclose(la, lb, rtol=0, atol=5e-4)
+    (st_a, m_a) = outs[True]
+    for variant in (False, "store_dac"):
+        st_b, m_b = outs[variant]
+        for k in m_a:
+            np.testing.assert_allclose(m_a[k], m_b[k], rtol=2e-4, atol=2e-4,
+                                       err_msg=f"{variant}:{k}")
+        for la, lb in zip(jax.tree_util.tree_leaves(st_a),
+                          jax.tree_util.tree_leaves(st_b)):
+            # AdamW's m/(sqrt(v)+eps) is ill-conditioned for the near-zero
+            # grads of step 1, so identical math can yield updates differing
+            # by up to the lr under f32 reassociation; bound the DISTANCE by
+            # one update (2e-4) instead of demanding elementwise closeness.
+            np.testing.assert_allclose(la, lb, rtol=0, atol=5e-4)

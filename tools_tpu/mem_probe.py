@@ -28,6 +28,11 @@ def main(argv=None):
                     help="selective remat: store encoder activations")
     ap.add_argument("--no-remat-disc", action="store_true",
                     help="selective remat: store discriminator activations")
+    ap.add_argument("--remat-disc", default=None,
+                    choices=["on", "off", "store_dac"],
+                    help="discriminator remat mode (overrides "
+                         "--no-remat-disc; store_dac stores only the DAC "
+                         "family and remats MPD/MRD)")
     ap.add_argument("--disc-dtype", default="float32",
                     help="discriminator compute dtype (mixed precision; "
                          "e.g. bfloat16)")
@@ -50,9 +55,14 @@ def main(argv=None):
 
     enable_compilation_cache()
     spec = WavTokenizerSpec()
+    if args.remat_disc is not None:
+        remat_disc = {"on": True, "off": False,
+                      "store_dac": "store_dac"}[args.remat_disc]
+    else:
+        remat_disc = not args.no_remat_disc
     tcfg = TrainConfig(remat=not args.no_remat,
                        remat_encoder=not args.no_remat_encoder,
-                       remat_disc=not args.no_remat_disc,
+                       remat_disc=remat_disc,
                        disc_compute_dtype=args.disc_dtype)
 
     # Shapes only — no device buffers, no execution.

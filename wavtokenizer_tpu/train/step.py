@@ -73,9 +73,17 @@ class TrainConfig:
     # per-scalar disc remat recomputes every sub-discriminator forward in
     # BOTH backwards.  False stores the disc activations instead (the
     # generator remat is untouched) — spends HBM headroom to skip the
-    # recompute.  Default True = the memory-safe production graph; see
-    # CLAUDE.md "Training memory" for the measured peak/speed trade.
-    remat_disc: bool = True
+    # recompute.  "store_dac" was meant as a middle point (store only the
+    # DAC family — the most expensive in the attribution — remat MPD/MRD)
+    # but is a MEASURED DEAD END at the reference batch: mem_probe r5 shows
+    # it needs 16.04 GiB at batch 40 (OOM by 296 MiB) vs 15.32 GiB for
+    # storing ALL disc activations — the rematted MPD/MRD backwards
+    # recompute their forwards while the stored DAC activations are still
+    # live, so the mix double-buffers where store-all does not.  Kept as an
+    # option for smaller batches; prefer False when HBM allows.
+    # Default True = the memory-safe production graph; see CLAUDE.md
+    # "Training memory" for the measured peak/speed trades.
+    remat_disc: bool | str = True
     # Training-time dropout inside the backbone pos-net resblocks
     # (the reference trains with 0.1, decoder/models.py:200).
     pos_dropout: float = 0.1
@@ -204,20 +212,32 @@ def generator_forward(gen: dict, vq: dict, spec: WavTokenizerSpec,
     return audio_hat, commit, new_vq
 
 
+def _disc_remat_mode(remat, remat_disc):
+    """Resolve TrainConfig.remat_disc (True | False | "store_dac") against
+    the global remat flag into the tri-state the fused disc losses consume:
+    False = store every family, True = remat every family, "store_dac" =
+    store the DAC family's activations but keep the MPD/MRD remat."""
+    if not remat or remat_disc is False:
+        return False
+    return "store_dac" if remat_disc == "store_dac" else True
+
+
 def _disc_loss_fn(disc, audio_hat, audio, bandwidth_id, mrd_coeff,
                   remat=False, compute_dtype=None):
     """ref: experiment.py:125-148.
 
     ``remat`` checkpoints each sub-discriminator's forward TOGETHER WITH its
     scalar loss terms (losses.*_fused) so only scalars cross checkpoint
-    boundaries — the memory-correct granularity; see losses.py docstring."""
-    loss_dac = dac_disc_loss_fused(disc, audio_hat, audio, remat=remat,
+    boundaries — the memory-correct granularity; see losses.py docstring.
+    It is the _disc_remat_mode tri-state: "store_dac" remats only MPD/MRD."""
+    loss_dac = dac_disc_loss_fused(disc, audio_hat, audio,
+                                   remat=remat is True,
                                    compute_dtype=compute_dtype)
     loss_mp = vocos_disc_loss_fused(disc["mpd"], "mpd", audio, audio_hat,
-                                    bandwidth_id, remat=remat,
+                                    bandwidth_id, remat=bool(remat),
                                     compute_dtype=compute_dtype)
     loss_mrd = vocos_disc_loss_fused(disc["mrd"], "mrd", audio, audio_hat,
-                                     bandwidth_id, remat=remat,
+                                     bandwidth_id, remat=bool(remat),
                                      compute_dtype=compute_dtype)
     loss = loss_mp + mrd_coeff * loss_mrd + loss_dac
     return loss, {"disc_total": loss, "disc_mp": loss_mp, "disc_mrd": loss_mrd,
@@ -230,7 +250,8 @@ def _gen_loss_fn(gen, disc, vq, spec, audio, bandwidth_id, key, n_q,
                  compute_dtype=None, gen_compute_dtype=None,
                  remat_disc=None):
     """ref: experiment.py:151-218."""
-    disc_remat = remat if remat_disc is None else (remat and remat_disc)
+    disc_remat = (remat if remat_disc is None
+                  else _disc_remat_mode(remat, remat_disc))
     audio_hat, commit_loss, new_vq = generator_forward(
         gen, vq, spec, audio, bandwidth_id, key, n_q, remat=remat,
         dropout_rng=dropout_rng, dropout_rate=dropout_rate,
@@ -240,14 +261,14 @@ def _gen_loss_fn(gen, disc, vq, spec, audio, bandwidth_id, key, n_q,
     loss = mel_coeff * l_mel + 1000.0 * commit_loss
     if train_discriminator:
         dac_g, dac_feat = dac_gen_loss_fused(disc, audio_hat, audio,
-                                             remat=disc_remat,
+                                             remat=disc_remat is True,
                                              compute_dtype=compute_dtype)
         loss_gen_mp, loss_fm_mp = vocos_gen_loss_fused(
             disc["mpd"], "mpd", audio, audio_hat, bandwidth_id,
-            remat=disc_remat, compute_dtype=compute_dtype)
+            remat=bool(disc_remat), compute_dtype=compute_dtype)
         loss_gen_mrd, loss_fm_mrd = vocos_gen_loss_fused(
             disc["mrd"], "mrd", audio, audio_hat, bandwidth_id,
-            remat=disc_remat, compute_dtype=compute_dtype)
+            remat=bool(disc_remat), compute_dtype=compute_dtype)
         loss = (loss + loss_gen_mp + mrd_coeff * loss_gen_mrd + loss_fm_mp
                 + mrd_coeff * loss_fm_mrd + dac_g + dac_feat)
         metrics.update({"gen_mp": loss_gen_mp, "gen_mrd": loss_gen_mrd,
@@ -293,7 +314,8 @@ def train_step(state: dict, audio: jnp.ndarray, key, spec: WavTokenizerSpec,
         (_, d_metrics), d_grads = jax.value_and_grad(
             _disc_loss_fn, has_aux=True)(disc, audio_hat_d, audio,
                                          bandwidth_id, tcfg.mrd_loss_coeff,
-                                         tcfg.remat and tcfg.remat_disc,
+                                         _disc_remat_mode(tcfg.remat,
+                                                          tcfg.remat_disc),
                                          disc_dtype)
         d_updates, new_opt_disc = opt_disc_tx.update(d_grads,
                                                      state["opt_disc"], disc)
