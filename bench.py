@@ -616,6 +616,14 @@ def main():
     headline = bench_headline()
     print(json.dumps(headline))
     if "--all" in sys.argv:
+        # BENCH_ROWS=detokenize,small600_batch,... runs only the named rows
+        # (substring match on the bench_* function name) and MERGES them
+        # into the existing BENCH_DETAIL.json instead of overwriting it —
+        # rows not re-run keep their previous values.  This exists because
+        # a full --all costs ~5 cold GAN-step compiles (~20 min each on a
+        # fresh cache box); the cheap inference rows can be refreshed
+        # without burning hours on the train variants.
+        only = [s for s in os.environ.get("BENCH_ROWS", "").split(",") if s]
         results = [headline]
         for fn in (bench_detokenize, bench_small600_single,
                    bench_small600_batch, bench_music16k,
@@ -623,6 +631,8 @@ def main():
                    bench_train_step, bench_train_step_stored_disc,
                    bench_train_step_fast, bench_train_step_bf16,
                    bench_train_step_bf16_mixed):
+            if only and not any(s in fn.__name__ for s in only):
+                continue
             # Isolate each config: the axon remote-compile helper can die
             # transiently (observed: SIGKILL mid GAN-step compile, HTTP 500
             # from /remote_compile) — retry once, then record the failure
@@ -640,6 +650,12 @@ def main():
             r = multichip_dryrun_status()
             results.append(r)
             print(json.dumps(r))
+        if only and os.path.exists("BENCH_DETAIL.json"):
+            with open("BENCH_DETAIL.json") as f:
+                old = json.load(f)
+            new_by_metric = {r.get("metric"): r for r in results}
+            merged = [new_by_metric.pop(r.get("metric"), r) for r in old]
+            results = merged + list(new_by_metric.values())
         with open("BENCH_DETAIL.json", "w") as f:
             json.dump(results, f, indent=2)
 
