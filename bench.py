@@ -625,13 +625,21 @@ def main():
         # without burning hours on the train variants.
         only = [s for s in os.environ.get("BENCH_ROWS", "").split(",") if s]
         results = [headline]
-        for fn in (bench_detokenize, bench_small600_single,
-                   bench_small600_batch, bench_music16k,
-                   bench_longform_60s, bench_bulk_extract, bench_latency,
-                   bench_train_step, bench_train_step_stored_disc,
-                   bench_train_step_fast, bench_train_step_bf16,
-                   bench_train_step_bf16_mixed):
-            if only and not any(s in fn.__name__ for s in only):
+        fns = (bench_detokenize, bench_small600_single,
+               bench_small600_batch, bench_music16k,
+               bench_longform_60s, bench_bulk_extract, bench_latency,
+               bench_train_step, bench_train_step_stored_disc,
+               bench_train_step_fast, bench_train_step_bf16,
+               bench_train_step_bf16_mixed)
+        # A pattern that IS a full row name selects exactly that row (so
+        # BENCH_ROWS=train_step does not also run every train_step_*
+        # variant); any other pattern is a substring match.
+        all_names = {f.__name__.removeprefix("bench_") for f in fns}
+        for fn in fns:
+            name = fn.__name__.removeprefix("bench_")
+            if only and not any(
+                    s == name or (s not in all_names and s in name)
+                    for s in only):
                 continue
             # Isolate each config: the axon remote-compile helper can die
             # transiently (observed: SIGKILL mid GAN-step compile, HTTP 500
